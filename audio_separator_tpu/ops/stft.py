@@ -1,0 +1,186 @@
+"""TPU-native STFT / iSTFT with torch.stft-compatible semantics.
+
+The reference framework relies on ``torch.stft`` / ``torch.istft`` everywhere
+(ref: audio_separator/separator/uvr_lib_v5/stft.py:41-120, roformer forward
+passes, demucs/spec.py).  Sub-0.1dB SDR parity requires reproducing those
+semantics exactly:
+
+* ``center=True``: reflect-pad the signal by ``n_fft // 2`` on both sides.
+* periodic Hann window (``torch.hann_window(n, periodic=True)``).
+* number of frames = ``1 + L // hop`` for even ``n_fft``.
+* iSTFT is the least-squares inverse: windowed overlap-add divided by the
+  summed squared-window envelope, then cropped by ``n_fft // 2`` per side.
+
+Design notes (TPU-first):
+
+* Framing is expressed as a gather with static indices; XLA lowers this to an
+  efficient dynamic-slice loop and fuses the window multiply.
+* Overlap-add avoids scatter ops entirely (slow on TPU): frames are split
+  into ``k = ceil(n_fft / hop)`` hop-sized lanes and accumulated with ``k``
+  dense shifted adds — fully vectorised, VPU-friendly, and differentiable.
+* FFTs use ``jnp.fft.rfft`` / ``irfft`` which XLA lowers natively on TPU.
+
+Everything here is shape-static and jit/vmap/scan friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "hann_window",
+    "hamming_window",
+    "frame_signal",
+    "overlap_add",
+    "stft",
+    "istft",
+    "stft_real_packed",
+    "istft_real_packed",
+]
+
+
+def hann_window(n: int, periodic: bool = True, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window, identical to ``torch.hann_window(n, periodic=True)``."""
+    m = n if periodic else n - 1
+    i = np.arange(n, dtype=np.float64)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / max(m, 1))
+    return jnp.asarray(w, dtype=dtype)
+
+
+def hamming_window(n: int, periodic: bool = False, dtype=jnp.float32) -> jnp.ndarray:
+    """Hamming window matching ``scipy.signal.windows.hamming`` (symmetric default)."""
+    m = n if periodic else n - 1
+    i = np.arange(n, dtype=np.float64)
+    w = 0.54 - 0.46 * np.cos(2.0 * np.pi * i / max(m, 1))
+    return jnp.asarray(w, dtype=dtype)
+
+
+def frame_signal(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
+    """Slice ``x (..., L)`` into overlapping frames ``(..., T, frame_len)``.
+
+    ``T = 1 + (L - frame_len) // hop``; requires ``L >= frame_len``.
+    """
+    length = x.shape[-1]
+    num_frames = 1 + (length - frame_len) // hop
+    # Static gather indices: (T, frame_len).
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(num_frames)[:, None]
+    return x[..., idx]
+
+
+def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Overlap-add ``frames (..., T, N)`` with hop ``hop`` → ``(..., N + hop*(T-1))``.
+
+    Scatter-free: pads N up to ``k*hop`` (k = ceil(N/hop)), views each frame as
+    ``k`` hop-sized lanes, and accumulates k dense shifted adds.
+    """
+    *batch, num_frames, frame_len = frames.shape
+    k = -(-frame_len // hop)
+    pad = k * hop - frame_len
+    if pad:
+        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1) + [(0, pad)])
+    lanes = frames.reshape(*batch, num_frames, k, hop)
+    out = jnp.zeros((*batch, num_frames + k - 1, hop), dtype=frames.dtype)
+    for j in range(k):
+        # Static-slice accumulate: lowers to a dense fused add, no scatter.
+        out = out.at[..., j : j + num_frames, :].add(lanes[..., j, :])
+    out = out.reshape(*batch, (num_frames + k - 1) * hop)
+    return out[..., : frame_len + hop * (num_frames - 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "pad_mode", "center"))
+def stft(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    window: jnp.ndarray,
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> jnp.ndarray:
+    """torch.stft-compatible STFT.
+
+    Args:
+      x: ``(..., L)`` real signal.
+      window: ``(n_fft,)`` analysis window.
+    Returns:
+      ``(..., n_fft//2 + 1, T)`` complex64 spectrogram (freq-major like torch).
+    """
+    if center:
+        p = n_fft // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)], mode=pad_mode)
+    frames = frame_signal(x, n_fft, hop) * window
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    return jnp.swapaxes(spec, -1, -2)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "center", "length"))
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    window: jnp.ndarray,
+    center: bool = True,
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """torch.istft-compatible least-squares inverse STFT.
+
+    Args:
+      spec: ``(..., F, T)`` complex spectrogram with ``F = n_fft//2 + 1``.
+    Returns:
+      ``(..., L)`` real signal with ``L = hop * (T - 1)`` for ``center=True``
+      (or ``length`` if given).
+    """
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    num_frames = frames.shape[-2]
+    y = overlap_add(frames * window, hop)
+    # Least-squares normalisation by the summed squared-window envelope.
+    wsq = jnp.broadcast_to(window * window, (num_frames, n_fft))
+    envelope = overlap_add(wsq, hop)
+    y = y / jnp.maximum(envelope, 1e-11)
+    if center:
+        p = n_fft // 2
+        y = y[..., p:]
+        out_len = hop * (num_frames - 1) if length is None else length
+        y = y[..., :out_len]
+    elif length is not None:
+        y = y[..., :length]
+    return y
+
+
+def stft_real_packed(
+    x: jnp.ndarray, n_fft: int, hop: int, window: jnp.ndarray, dim_f: int
+) -> jnp.ndarray:
+    """MDX-style packed STFT (ref: uvr_lib_v5/stft.py:20-57).
+
+    Input ``(..., C, L)`` → output ``(..., C*2, dim_f, T)`` where the channel
+    axis interleaves per input channel as [c0_real, c0_imag, c1_real, c1_imag],
+    cropped to the lowest ``dim_f`` frequency bins.
+    """
+    spec = stft(x, n_fft, hop, window)  # (..., C, F, T) complex
+    packed = jnp.stack([spec.real, spec.imag], axis=-3)  # (..., C, 2, F, T)
+    shape = packed.shape
+    packed = packed.reshape(*shape[:-4], shape[-4] * 2, shape[-2], shape[-1])
+    return packed[..., :dim_f, :]
+
+
+def istft_real_packed(
+    packed: jnp.ndarray, n_fft: int, hop: int, window: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse of :func:`stft_real_packed` (ref: uvr_lib_v5/stft.py:59-126).
+
+    Input ``(..., C*2, dim_f, T)`` is zero-padded on the frequency axis up to
+    ``n_fft//2 + 1`` bins and inverted back to ``(..., C, L)``.
+    """
+    n_bins = n_fft // 2 + 1
+    *batch, c2, dim_f, t = packed.shape
+    if dim_f < n_bins:
+        packed = jnp.pad(
+            packed, [(0, 0)] * (packed.ndim - 2) + [(0, n_bins - dim_f), (0, 0)]
+        )
+    packed = packed.reshape(*batch, c2 // 2, 2, n_bins, t)
+    spec = jax.lax.complex(packed[..., 0, :, :], packed[..., 1, :, :])
+    return istft(spec, n_fft, hop, window)

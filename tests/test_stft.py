@@ -1,0 +1,106 @@
+"""STFT/iSTFT parity vs torch.stft/istft (the reference's transform backbone).
+
+Parity target: sub-0.1dB SDR requires the transform itself to match torch to
+~1e-5 relative error (ref semantics: uvr_lib_v5/stft.py, roformer internal
+stft, demucs/spec.py).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from audio_separator_tpu.ops import stft as jstft
+
+
+def _rand(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "n_fft,hop,length",
+    [(2048, 512, 44100), (4096, 1024, 44100), (6144, 1024, 130560), (1024, 256, 8192)],
+)
+def test_stft_matches_torch(n_fft, hop, length):
+    x = _rand((2, length))
+    win_t = torch.hann_window(n_fft, periodic=True)
+    ref = torch.stft(
+        torch.from_numpy(x), n_fft=n_fft, hop_length=hop, window=win_t,
+        center=True, return_complex=True,
+    ).numpy()
+
+    win_j = jstft.hann_window(n_fft)
+    got = np.asarray(jstft.stft(jnp.asarray(x), n_fft, hop, win_j))
+
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-4 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("n_fft,hop", [(2048, 512), (4096, 1024), (6144, 1024)])
+def test_istft_matches_torch(n_fft, hop):
+    frames = 64
+    f = n_fft // 2 + 1
+    rng = np.random.default_rng(1)
+    spec = (rng.standard_normal((2, f, frames)) + 1j * rng.standard_normal((2, f, frames))).astype(np.complex64)
+
+    win_t = torch.hann_window(n_fft, periodic=True)
+    ref = torch.istft(
+        torch.from_numpy(spec), n_fft=n_fft, hop_length=hop, window=win_t, center=True
+    ).numpy()
+
+    win_j = jstft.hann_window(n_fft)
+    got = np.asarray(jstft.istft(jnp.asarray(spec), n_fft, hop, win_j))
+
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=5e-4 * scale, rtol=0)
+
+
+def test_roundtrip_reconstruction():
+    x = _rand((2, 44100), seed=2)
+    n_fft, hop = 2048, 512
+    win = jstft.hann_window(n_fft)
+    spec = jstft.stft(jnp.asarray(x), n_fft, hop, win)
+    y = np.asarray(jstft.istft(spec, n_fft, hop, win, length=44100))
+    np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_packed_stft_matches_reference_layout():
+    """MDX packed layout: (B, C*2, dim_f, T) with [re, im] per channel.
+
+    Mirrors uvr_lib_v5/stft.py:41-57 reshape semantics.
+    """
+    n_fft, hop, dim_f = 2048, 512, 2048 // 2
+    x = _rand((3, 2, 16384), seed=3)
+    win_t = torch.hann_window(n_fft, periodic=True)
+
+    xt = torch.from_numpy(x).reshape(-1, 16384)
+    ref = torch.stft(xt, n_fft=n_fft, hop_length=hop, window=win_t, center=True, return_complex=False)
+    ref = ref.permute(0, 3, 1, 2).reshape(3, 2, 2, -1, ref.shape[2]).reshape(3, 4, -1, ref.shape[2])
+    ref = ref[..., :dim_f, :].numpy()
+
+    win_j = jstft.hann_window(n_fft)
+    got = np.asarray(jstft.stft_real_packed(jnp.asarray(x), n_fft, hop, win_j, dim_f))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-4 * scale, rtol=0)
+
+
+def test_packed_istft_roundtrip():
+    n_fft, hop, dim_f = 2048, 512, 1024
+    x = _rand((1, 2, 16384), seed=4)
+    win = jstft.hann_window(n_fft)
+    packed = jstft.stft_real_packed(jnp.asarray(x), n_fft, hop, win, dim_f)
+    y = np.asarray(jstft.istft_real_packed(packed, n_fft, hop, win))
+    # dim_f crop discards top bins → inexact roundtrip; compare against torch
+    # performing the identical crop+pad+inverse.
+    win_t = torch.hann_window(n_fft, periodic=True)
+    xt = torch.from_numpy(x).reshape(-1, 16384)
+    spec = torch.stft(xt, n_fft=n_fft, hop_length=hop, window=win_t, center=True, return_complex=True)
+    spec[:, dim_f:, :] = 0
+    ref = torch.istft(spec, n_fft=n_fft, hop_length=hop, window=win_t, center=True)
+    ref = ref.reshape(1, 2, -1).numpy()
+    np.testing.assert_allclose(y[..., : ref.shape[-1]], ref, atol=5e-4)
