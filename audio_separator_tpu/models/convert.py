@@ -1,0 +1,225 @@
+"""Checkpoint conversion: torch state dicts → JAX parameter pytrees.
+
+torch is used *only* here, at conversion time, on CPU. Converted pytrees are
+cached as ``.npz`` so steady-state inference never imports torch
+(ref loading semantics: roformer_loader.py:97-105 — unwraps ``state_dict`` /
+``model`` containers; mdxc_separator.py:109; vr_separator.py:173).
+
+Conversion also restructures for TPU execution:
+* per-depth transformer layers are stacked along a leading axis for
+  ``lax.scan``;
+* ragged per-band BandSplit / MaskEstimator weights are zero-padded into
+  dense ``(bands, max_in, …)`` batched-einsum tensors;
+* all ``nn.Linear`` weights are transposed to ``(in, out)`` so applications
+  are plain ``x @ w``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+from .roformer import BandLayout, RoformerConfig, band_layout
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .ckpt/.pth/.th torch checkpoint to numpy, unwrapping common
+    containers."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("state_dict", "model", "model_state_dict"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    if not isinstance(obj, dict):
+        raise ValueError(f"unsupported checkpoint container in {path}")
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+    # strip a uniform "model." prefix if present
+    if out and all(k.startswith("model.") for k in out):
+        out = {k[len("model."):]: v for k, v in out.items()}
+    return out
+
+
+def _stack(dicts, key):
+    return np.stack([d[key] for d in dicts])
+
+
+def _convert_attention(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "attn_norm": sd[f"{prefix}.0.norm.gamma"],
+        "wqkv": sd[f"{prefix}.0.to_qkv.weight"].T,
+        "gate_w": sd[f"{prefix}.0.to_gates.weight"].T,
+        "gate_b": sd[f"{prefix}.0.to_gates.bias"],
+        "wo": sd[f"{prefix}.0.to_out.0.weight"].T,
+        "ff_norm": sd[f"{prefix}.1.net.0.gamma"],
+        "ff_w1": sd[f"{prefix}.1.net.1.weight"].T,
+        "ff_b1": sd[f"{prefix}.1.net.1.bias"],
+        "ff_w2": sd[f"{prefix}.1.net.4.weight"].T,
+        "ff_b2": sd[f"{prefix}.1.net.4.bias"],
+    }
+
+
+def _convert_transformer(sd, prefix: str, inner_depth: int, has_out_norm: bool):
+    layers = [_convert_attention(sd, f"{prefix}.layers.{l}") for l in range(inner_depth)]
+    out = {k: _stack(layers, k) for k in layers[0]}
+    if has_out_norm:
+        out["out_norm"] = sd[f"{prefix}.norm.gamma"]
+    return out
+
+
+def convert_roformer(sd: Dict[str, np.ndarray], cfg: RoformerConfig) -> Dict[str, Any]:
+    """Build the apply_roformer params pytree from a torch state dict."""
+    layout: BandLayout = band_layout(cfg)
+    nb, max_in, dim = layout.n_bands, layout.max_in, cfg.dim
+
+    if cfg.linear_transformer_depth > 0:
+        raise NotImplementedError(
+            "linear_transformer_depth > 0 (LinearAttention) not yet supported"
+        )
+
+    # --- band split (padded) -------------------------------------------------
+    gamma = np.zeros((nb, max_in), np.float32)
+    w = np.zeros((nb, max_in, dim), np.float32)
+    b = np.zeros((nb, dim), np.float32)
+    for i in range(nb):
+        di = int(layout.in_dims[i])
+        gamma[i, :di] = sd[f"band_split.to_features.{i}.0.gamma"]
+        w[i, :di, :] = sd[f"band_split.to_features.{i}.1.weight"].T
+        b[i] = sd[f"band_split.to_features.{i}.1.bias"]
+    params: Dict[str, Any] = {"band_split": {"gamma": gamma, "w": w, "b": b}}
+
+    # --- transformer blocks (stacked for scan) -------------------------------
+    has_inner_norm = cfg.kind == "mel"  # norm_output=True for mel variant
+    time_idx, freq_idx = 0, 1
+    per_depth = []
+    for d in range(cfg.depth):
+        per_depth.append({
+            "time": _convert_transformer(sd, f"layers.{d}.{time_idx}",
+                                         cfg.time_transformer_depth, has_inner_norm),
+            "freq": _convert_transformer(sd, f"layers.{d}.{freq_idx}",
+                                         cfg.freq_transformer_depth, has_inner_norm),
+        })
+    blocks = {}
+    for branch in ("time", "freq"):
+        blocks[branch] = {
+            k: np.stack([pd[branch][k] for pd in per_depth])
+            for k in per_depth[0][branch]
+        }
+    params["blocks"] = blocks
+
+    if f"final_norm.gamma" in sd:
+        params["final_norm"] = {"gamma": sd["final_norm.gamma"]}
+
+    # --- mask estimators (padded, stacked over stems) ------------------------
+    depth = cfg.mask_estimator_depth
+    hidden_dim = cfg.dim * cfg.mlp_expansion_factor
+    hidden_layers = []
+    for h in range(depth - 1):
+        seq_idx = 2 * h
+        in_dim = dim if h == 0 else hidden_dim
+        wh = np.zeros((cfg.num_stems, nb, in_dim, hidden_dim), np.float32)
+        bh = np.zeros((cfg.num_stems, nb, hidden_dim), np.float32)
+        for s in range(cfg.num_stems):
+            for i in range(nb):
+                key = f"mask_estimators.{s}.to_freqs.{i}.0.{seq_idx}"
+                wh[s, i] = sd[f"{key}.weight"].T
+                bh[s, i] = sd[f"{key}.bias"]
+        hidden_layers.append({"w": wh, "b": bh})
+
+    final_in = dim if depth == 1 else hidden_dim
+    final_idx = 2 * (depth - 1)
+    val_w = np.zeros((cfg.num_stems, nb, final_in, max_in), np.float32)
+    val_b = np.zeros((cfg.num_stems, nb, max_in), np.float32)
+    gate_w = np.zeros_like(val_w)
+    gate_b = np.zeros_like(val_b)
+    for s in range(cfg.num_stems):
+        for i in range(nb):
+            di = int(layout.in_dims[i])
+            key = f"mask_estimators.{s}.to_freqs.{i}.0.{final_idx}"
+            wt = sd[f"{key}.weight"]  # (2*di, in)
+            bt = sd[f"{key}.bias"]
+            val_w[s, i, :, :di] = wt[:di].T
+            gate_w[s, i, :, :di] = wt[di:].T
+            val_b[s, i, :di] = bt[:di]
+            gate_b[s, i, :di] = bt[di:]
+    params["mask_est"] = {
+        "hidden": hidden_layers,
+        "val_w": val_w, "val_b": val_b,
+        "gate_w": gate_w, "gate_b": gate_b,
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Pytree cache (npz) so steady-state inference is torch-free.
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        flat[f"{prefix}__len__"] = np.asarray(len(tree))
+        for i, v in enumerate(tree):
+            flat.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def normalize(node):
+        if not isinstance(node, dict):
+            return node
+        if "__len__" in node:
+            n = int(node["__len__"])
+            return [normalize(node[str(i)]) for i in range(n)]
+        return {k: normalize(v) for k, v in node.items()}
+
+    return normalize(tree)
+
+
+def save_params(path: str, params: Any) -> None:
+    np.savez(path, **_flatten(params))
+
+
+def load_params(path: str) -> Any:
+    with np.load(path, allow_pickle=False) as data:
+        return _unflatten({k: data[k] for k in data.files})
+
+
+def cached_convert(ckpt_path: str, cfg, converter, cache_dir: str | None = None):
+    """Convert-with-cache: ``converter(state_dict, cfg)`` result is stored next
+    to the checkpoint (or in cache_dir) keyed by file size + mtime."""
+    st = os.stat(ckpt_path)
+    base = os.path.basename(ckpt_path)
+    cache_name = f"{base}.{st.st_size}.jax.npz"
+    cache_path = os.path.join(cache_dir or os.path.dirname(ckpt_path), cache_name)
+    if os.path.exists(cache_path):
+        try:
+            return load_params(cache_path)
+        except Exception:
+            pass
+    sd = load_torch_state_dict(ckpt_path)
+    params = converter(sd, cfg)
+    try:
+        save_params(cache_path, params)
+    except Exception:
+        pass
+    return params

@@ -1,0 +1,321 @@
+"""BS-RoFormer and Mel-Band RoFormer — TPU-native functional JAX implementation.
+
+Re-design of the reference's flagship architecture
+(ref: uvr_lib_v5/roformer/bs_roformer.py, mel_band_roformer.py) around XLA:
+
+* Pure functions over a parameter pytree (converted once from torch
+  checkpoints by ``models/convert.py``); no module framework overhead.
+* The ragged per-band BandSplit / MaskEstimator module lists become *padded
+  batched einsums*: every band is padded to the widest band and processed in
+  one ``(bands, max_in, dim)`` contraction on the MXU, with masked RMSNorm
+  handling the padding exactly. The pad waste is negligible next to the
+  transformer stack, and it removes ~124 tiny matmuls per step.
+* The outer transformer depth runs under ``lax.scan`` over stacked per-layer
+  parameters — one compiled block instead of `depth` unrolled copies.
+* Band→frequency recombination is a static-index scatter-add shared by both
+  variants (for BS bands are disjoint so it degenerates to a concat; for Mel
+  overlapping bands sum and are averaged by band counts, ref:
+  mel_band_roformer.py:417-431).
+* Attention is plain scaled-dot-product in fp32/bf16 — per-window sequence
+  lengths (≤ ~1200 frames / ~64 bands) fit comfortably, XLA fuses the
+  softmax chain.
+
+The STFT/iSTFT ride the shared ops in ``ops/stft.py`` inside the same jitted
+program, so chunk → mask → audio is one fused device program.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stft import hann_window, istft, stft
+from .melbands import mel_band_membership
+
+
+@dataclass(frozen=True)
+class RoformerConfig:
+    kind: str  # "bs" | "mel"
+    dim: int
+    depth: int
+    stereo: bool = False
+    num_stems: int = 1
+    time_transformer_depth: int = 2
+    freq_transformer_depth: int = 2
+    linear_transformer_depth: int = 0
+    freqs_per_bands: Optional[Tuple[int, ...]] = None  # BS
+    num_bands: Optional[int] = None  # Mel
+    sample_rate: int = 44100
+    dim_head: int = 64
+    heads: int = 8
+    stft_n_fft: int = 2048
+    stft_hop_length: int = 512
+    stft_win_length: int = 2048
+    mask_estimator_depth: int = 2
+    mlp_expansion_factor: int = 4
+    match_input_audio_length: bool = False
+    flash_attn: bool = True  # accepted for config parity; XLA decides fusion
+
+    @property
+    def audio_channels(self) -> int:
+        return 2 if self.stereo else 1
+
+    @property
+    def n_bins(self) -> int:
+        return self.stft_n_fft // 2 + 1
+
+
+@dataclass(frozen=True)
+class BandLayout:
+    """Static gather/scatter tables mapping packed spectrogram features
+    (row-major ``(f s)`` rows × (re, im)) to per-band padded lanes."""
+
+    n_bands: int
+    max_in: int
+    n_feat: int  # n_bins * channels * 2
+    in_idx: np.ndarray  # (n_bands, max_in) int32, padded lanes -> n_feat (dump)
+    in_mask: np.ndarray  # (n_bands, max_in) float32
+    in_dims: np.ndarray  # (n_bands,) int32 valid widths
+    denom: np.ndarray  # (n_feat,) float32 per-feature overlap counts
+
+
+@functools.lru_cache(maxsize=16)
+def band_layout(cfg: RoformerConfig) -> BandLayout:
+    s = cfg.audio_channels
+    if cfg.kind == "bs":
+        if cfg.freqs_per_bands is None:
+            raise ValueError("BS-RoFormer requires freqs_per_bands")
+        if sum(cfg.freqs_per_bands) != cfg.n_bins:
+            raise ValueError(
+                f"freqs_per_bands must sum to {cfg.n_bins}, got {sum(cfg.freqs_per_bands)}"
+            )
+        band_bins = []
+        start = 0
+        for nf in cfg.freqs_per_bands:
+            band_bins.append(np.arange(start, start + nf))
+            start += nf
+    elif cfg.kind == "mel":
+        if cfg.num_bands is None:
+            raise ValueError("Mel-Band RoFormer requires num_bands")
+        member, _, _, _ = mel_band_membership(cfg.sample_rate, cfg.stft_n_fft, cfg.num_bands)
+        band_bins = [np.nonzero(member[i])[0] for i in range(cfg.num_bands)]
+    else:
+        raise ValueError(f"unknown roformer kind {cfg.kind}")
+
+    n_bands = len(band_bins)
+    n_feat = cfg.n_bins * s * 2
+    dims = np.array([len(b) * s * 2 for b in band_bins], dtype=np.int32)
+    max_in = int(dims.max())
+    in_idx = np.full((n_bands, max_in), n_feat, dtype=np.int32)
+    in_mask = np.zeros((n_bands, max_in), dtype=np.float32)
+    counts = np.zeros(n_feat, dtype=np.float32)
+    for i, bins in enumerate(band_bins):
+        # feature index = ((f * s + ch) * 2 + c) — row-major (f s) rows, re/im.
+        feats = ((bins[:, None] * s + np.arange(s)[None, :]).reshape(-1, 1) * 2
+                 + np.arange(2)[None, :]).reshape(-1)
+        in_idx[i, : len(feats)] = feats
+        in_mask[i, : len(feats)] = 1.0
+        counts[feats] += 1.0
+    return BandLayout(n_bands, max_in, n_feat, in_idx, in_mask, dims,
+                      np.maximum(counts, 1e-8))
+
+
+# ---------------------------------------------------------------------------
+# Functional blocks
+
+
+def _rmsnorm(x: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+    """torch: F.normalize(x, dim=-1) * sqrt(d) * gamma (fp32 internally)."""
+    x32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
+    scale = np.sqrt(x.shape[-1])
+    out = x32 / jnp.maximum(norm, 1e-12) * scale
+    return (out * gamma).astype(x.dtype)
+
+
+def _rope_tables(n: int, dim_head: int, dtype=jnp.float32):
+    """rotary_embedding_torch convention: interleaved pairs, theta=10000."""
+    inv = 1.0 / (10000.0 ** (np.arange(0, dim_head, 2, dtype=np.float64) / dim_head))
+    ang = np.arange(n, dtype=np.float64)[:, None] * inv[None, :]  # (n, dh/2)
+    cos = np.repeat(np.cos(ang), 2, axis=-1)
+    sin = np.repeat(np.sin(ang), 2, axis=-1)
+    return jnp.asarray(cos, dtype=dtype), jnp.asarray(sin, dtype=dtype)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.reshape(*x.shape[:-1], x.shape[-1] // 2, 2)
+    x = jnp.stack([-x[..., 1], x[..., 0]], axis=-1)
+    return x.reshape(*x.shape[:-2], -1)
+
+
+def _attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
+               rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]) -> jnp.ndarray:
+    """Gated multi-head attention (ref: bs_roformer.py Attention)."""
+    b, n, d = x.shape
+    xn = _rmsnorm(x, p["attn_norm"])
+    qkv = xn @ p["wqkv"]  # (b, n, 3*h*dh)
+    dh = qkv.shape[-1] // (3 * heads)
+    qkv = qkv.reshape(b, n, 3, heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # (b, h, n, dh)
+    if rope is not None:
+        cos, sin = rope
+        q = q * cos + _rotate_half(q) * sin
+        k = k * cos + _rotate_half(k) * sin
+    scale = dh ** -0.5
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                     preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    gates = jax.nn.sigmoid(xn @ p["gate_w"] + p["gate_b"])  # (b, n, h)
+    out = out * gates.transpose(0, 2, 1)[..., None]
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * dh)
+    return out @ p["wo"]
+
+
+def _feedforward(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    xn = _rmsnorm(x, p["ff_norm"])
+    h = jax.nn.gelu(xn @ p["ff_w1"] + p["ff_b1"], approximate=False)
+    return h @ p["ff_w2"] + p["ff_b2"]
+
+
+def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
+                 inner_depth: int,
+                 rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]) -> jnp.ndarray:
+    """Inner transformer: `inner_depth` × (attn + ff), optional output norm.
+
+    `stack` leaves carry a leading (inner_depth, ...) axis.
+    """
+    for j in range(inner_depth):
+        layer = {k: v[j] for k, v in stack.items() if k != "out_norm"}
+        x = x + _attention(layer, x, heads, rope)
+        x = x + _feedforward(layer, x)
+    if "out_norm" in stack:
+        x = _rmsnorm(x, stack["out_norm"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Full model
+
+
+def _band_split(p: Dict[str, jnp.ndarray], feats: jnp.ndarray,
+                layout: BandLayout, compute_dtype) -> jnp.ndarray:
+    """feats (B, T, n_feat) → (B, T, n_bands, dim) via masked padded einsum."""
+    padded = jnp.pad(feats, [(0, 0), (0, 0), (0, 1)])  # dump slot
+    xb = padded[..., layout.in_idx]  # (B, T, nb, max_in)
+    mask = jnp.asarray(layout.in_mask)
+    xb32 = xb.astype(jnp.float32) * mask
+    norm = jnp.sqrt(jnp.sum(xb32 * xb32, axis=-1, keepdims=True))
+    scale = jnp.sqrt(layout.in_dims.astype(np.float32))[:, None]
+    xn = xb32 / jnp.maximum(norm, 1e-12) * scale
+    xn = (xn * p["gamma"]).astype(compute_dtype)
+    return jnp.einsum("btni,nid->btnd", xn, p["w"].astype(compute_dtype),
+                      preferred_element_type=jnp.float32).astype(compute_dtype) + p["b"].astype(compute_dtype)
+
+
+def _mask_estimate(p: Dict[str, Any], x: jnp.ndarray, layout: BandLayout,
+                   cfg: RoformerConfig) -> jnp.ndarray:
+    """x (B, T, nb, dim) → per-stem padded band features (B, T, ns, nb, max_in).
+
+    MLP (depth-1 hidden tanh layers) + GLU, all stems/bands batched in single
+    einsums (ref: MaskEstimator, bs_roformer.py:205-229).
+    """
+    h = x[:, :, None]  # (B, T, 1, nb, dim)
+    for layer in p["hidden"]:
+        h = jnp.einsum("btsnd,sndh->btsnh", h, layer["w"],
+                       preferred_element_type=jnp.float32).astype(x.dtype) + layer["b"]
+        h = jnp.tanh(h)
+    val = jnp.einsum("btsnd,sndo->btsno", h, p["val_w"],
+                     preferred_element_type=jnp.float32) + p["val_b"]
+    gate = jnp.einsum("btsnd,sndo->btsno", h, p["gate_w"],
+                      preferred_element_type=jnp.float32) + p["gate_b"]
+    out = val * jax.nn.sigmoid(gate)
+    return out * jnp.asarray(layout.in_mask)
+
+
+def apply_roformer(
+    params: Dict[str, Any],
+    cfg: RoformerConfig,
+    audio: jnp.ndarray,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Forward pass: ``audio (B, channels, T)`` → stems ``(B, num_stems, channels, T_out)``.
+
+    Mirrors BSRoformer.forward / MelBandRoformer.forward semantics
+    (ref: bs_roformer.py:418-514, mel_band_roformer.py:332-442).
+    """
+    layout = band_layout(cfg)
+    b, s, t = audio.shape
+    assert s == cfg.audio_channels, f"expected {cfg.audio_channels} channels, got {s}"
+    n_fft, hop = cfg.stft_n_fft, cfg.stft_hop_length
+    win = hann_window(cfg.stft_win_length)
+    if cfg.stft_win_length < n_fft:
+        lp = (n_fft - cfg.stft_win_length) // 2
+        win = jnp.pad(win, (lp, n_fft - cfg.stft_win_length - lp))
+
+    spec = stft(audio.reshape(b * s, t), n_fft, hop, win)  # (b*s, F, Tf) c64
+    n_bins, tf = spec.shape[-2], spec.shape[-1]
+    spec = spec.reshape(b, s, n_bins, tf)
+    rows = spec.transpose(0, 2, 1, 3).reshape(b, n_bins * s, tf)  # (f s) rows
+
+    feats = jnp.stack([rows.real, rows.imag], axis=-1)  # (b, rows, Tf, 2)
+    feats = feats.transpose(0, 2, 1, 3).reshape(b, tf, layout.n_feat)
+
+    x = _band_split(params["band_split"], feats.astype(compute_dtype), layout,
+                    compute_dtype)  # (b, Tf, nb, dim)
+
+    time_rope = _rope_tables(tf, cfg.dim_head, compute_dtype)
+    freq_rope = _rope_tables(layout.n_bands, cfg.dim_head, compute_dtype)
+    heads = cfg.heads
+
+    def outer_block(carry, lp):
+        x = carry
+        if "linear" in lp:
+            flat = x.reshape(b, tf * layout.n_bands, cfg.dim)
+            flat = _transformer(lp["linear"], flat, heads,
+                                cfg.linear_transformer_depth, None)
+            x = flat.reshape(b, tf, layout.n_bands, cfg.dim)
+        # time attention: tokens = frames, bands folded into batch
+        xt = x.transpose(0, 2, 1, 3).reshape(b * layout.n_bands, tf, cfg.dim)
+        xt = _transformer(lp["time"], xt, heads, cfg.time_transformer_depth, time_rope)
+        x = xt.reshape(b, layout.n_bands, tf, cfg.dim).transpose(0, 2, 1, 3)
+        # freq attention: tokens = bands, frames folded into batch
+        xf = x.reshape(b * tf, layout.n_bands, cfg.dim)
+        xf = _transformer(lp["freq"], xf, heads, cfg.freq_transformer_depth, freq_rope)
+        x = xf.reshape(b, tf, layout.n_bands, cfg.dim)
+        return x, None
+
+    x, _ = jax.lax.scan(outer_block, x, params["blocks"])
+
+    if "final_norm" in params:
+        x = _rmsnorm(x, params["final_norm"]["gamma"])
+
+    banded = _mask_estimate(params["mask_est"], x, layout, cfg)
+    banded = banded.astype(jnp.float32)
+
+    # Band → frequency-feature recombination (scatter-add, static indices).
+    ns = cfg.num_stems
+    flat_idx = jnp.asarray(layout.in_idx.reshape(-1))
+    vals = banded.reshape(b, tf, ns, -1)
+    acc = jnp.zeros((b, tf, ns, layout.n_feat + 1), dtype=jnp.float32)
+    acc = acc.at[..., flat_idx].add(vals)
+    acc = acc[..., : layout.n_feat]
+    if cfg.kind == "mel":
+        acc = acc / jnp.asarray(layout.denom)
+
+    mask_feats = acc.transpose(0, 2, 3, 1)  # (b, ns, n_feat, Tf)
+    mask_feats = mask_feats.reshape(b, ns, n_bins * s, 2, tf)
+    mask = jax.lax.complex(mask_feats[..., 0, :], mask_feats[..., 1, :])  # (b, ns, rows, Tf)
+
+    spec_out = rows[:, None] * mask  # (b, ns, rows, Tf)
+    spec_out = spec_out.reshape(b, ns, n_bins, s, tf).transpose(0, 1, 3, 2, 4)
+    out_len = t if cfg.match_input_audio_length else None
+    audio_out = istft(spec_out.reshape(b * ns * s, n_bins, tf), n_fft, hop, win,
+                      length=out_len)
+    return audio_out.reshape(b, ns, s, -1)

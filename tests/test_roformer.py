@@ -1,0 +1,99 @@
+"""RoFormer JAX implementation + converter parity vs a torch oracle with
+checkpoint-identical state_dict layout."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from audio_separator_tpu.models.convert import convert_roformer
+from audio_separator_tpu.models.melbands import mel_band_membership
+from audio_separator_tpu.models.roformer import (
+    RoformerConfig,
+    apply_roformer,
+    band_layout,
+)
+
+from torch_oracles.roformer_oracle import RoformerOracle
+
+
+def _bs_config():
+    return RoformerConfig(
+        kind="bs", dim=64, depth=2, stereo=True, num_stems=2,
+        time_transformer_depth=1, freq_transformer_depth=1,
+        freqs_per_bands=(2, 2, 4, 8, 16, 32, 64, 129),
+        dim_head=16, heads=4, stft_n_fft=512, stft_hop_length=128,
+        stft_win_length=512, mask_estimator_depth=2,
+    )
+
+
+def _mel_config():
+    return RoformerConfig(
+        kind="mel", dim=48, depth=2, stereo=True, num_stems=1,
+        time_transformer_depth=1, freq_transformer_depth=1,
+        num_bands=24, sample_rate=44100,
+        dim_head=16, heads=4, stft_n_fft=512, stft_hop_length=128,
+        stft_win_length=512, mask_estimator_depth=1,
+    )
+
+
+def _band_bins(cfg):
+    if cfg.kind == "bs":
+        bins, start = [], 0
+        for nf in cfg.freqs_per_bands:
+            bins.append(list(range(start, start + nf)))
+            start += nf
+        return bins
+    member, _, _, _ = mel_band_membership(cfg.sample_rate, cfg.stft_n_fft, cfg.num_bands)
+    return [list(np.nonzero(member[i])[0]) for i in range(cfg.num_bands)]
+
+
+@pytest.mark.parametrize("cfg_fn", [_bs_config, _mel_config], ids=["bs", "mel"])
+def test_roformer_matches_torch_oracle(cfg_fn):
+    cfg = cfg_fn()
+    torch.manual_seed(0)
+    oracle = RoformerOracle(
+        kind=cfg.kind, band_bins=_band_bins(cfg), dim=cfg.dim, depth=cfg.depth,
+        heads=cfg.heads, dim_head=cfg.dim_head, stereo=cfg.stereo,
+        num_stems=cfg.num_stems, t_depth=cfg.time_transformer_depth,
+        f_depth=cfg.freq_transformer_depth, n_fft=cfg.stft_n_fft,
+        hop=cfg.stft_hop_length, mask_depth=cfg.mask_estimator_depth,
+        mult=cfg.mlp_expansion_factor,
+    ).eval()
+    # Randomise weights (default inits are partly degenerate, e.g. ones).
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = convert_roformer(sd, cfg)
+
+    audio = np.random.default_rng(1).standard_normal((2, 2, 16384)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(audio)).numpy()
+    got = np.asarray(apply_roformer(params, cfg, jnp.asarray(audio)))
+
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=3e-4 * max(scale, 1e-3), rtol=0)
+
+
+def test_band_layout_bs_covers_all_bins():
+    cfg = _bs_config()
+    layout = band_layout(cfg)
+    assert layout.n_bands == len(cfg.freqs_per_bands)
+    # every feature covered exactly once
+    counts = np.zeros(layout.n_feat)
+    for i in range(layout.n_bands):
+        valid = layout.in_idx[i][layout.in_mask[i] > 0]
+        counts[valid] += 1
+    np.testing.assert_array_equal(counts, np.ones(layout.n_feat))
+
+
+def test_mel_membership_properties():
+    member, freq_indices, nfpb, nbpf = mel_band_membership(44100, 2048, 60)
+    assert member.shape == (60, 1025)
+    assert member[0, 0] and member[-1, -1]
+    assert (nbpf >= 1).all()  # full coverage
+    assert freq_indices.sum() == (member * np.arange(1025)[None, :]).sum()
