@@ -1,0 +1,244 @@
+"""MDXC architecture separator: BS/Mel-Band RoFormer and TFC-TDF v3 (MDX23C).
+
+Behaviour-parity re-design of the reference MDXCSeparator
+(ref: audio_separator/separator/architectures/mdxc_separator.py): same chunk
+geometry, Hamming-window overlap-add, residual-secondary and pitch-shift
+semantics — but the demix loop is one jitted device program via
+``ops/demix.overlap_add_demix`` and models are functional JAX.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.convert import cached_convert, convert_roformer
+from ..models.roformer import RoformerConfig, apply_roformer
+from ..ops import spec as spec_ops
+from ..ops.demix import overlap_add_demix
+from ..ops.resample import change_pitch_semitones_np, resample_poly_np
+from ..ops.stft import hamming_window
+from ..separator.common import BaseSeparator
+from ..separator.roformer_config import build_roformer_config, flatten_model_config
+
+
+class MDXCSeparator(BaseSeparator):
+    def __init__(self, common_config: Dict, arch_config: Dict):
+        super().__init__(config=common_config)
+
+        self.segment_size = arch_config.get("segment_size", 256)
+        self.override_model_segment_size = arch_config.get("override_model_segment_size", False)
+        self.overlap = arch_config.get("overlap", 8)
+        self.batch_size = arch_config.get("batch_size", 1)
+        self.pitch_shift = arch_config.get("pitch_shift", 0)
+        self.process_all_stems = arch_config.get("process_all_stems", False)
+        self.compute_dtype = jnp.bfloat16 if common_config.get("use_autocast") else jnp.float32
+
+        self.is_roformer = (
+            self.model_data.get("is_roformer", False)
+            or "roformer" in (self.model_path or "").lower()
+            or "roformer" in (self.model_name or "").lower()
+        )
+
+        self.model_cfg: Optional[RoformerConfig] = None
+        self.params = None
+        self.load_model()
+
+        training = self.model_data.get("training") or {}
+        self.stem_list = (
+            [training["target_instrument"]] if training.get("target_instrument")
+            else list(training.get("instruments") or [self.primary_stem_name])
+        )
+        self.instrument_list = list(training.get("instruments") or self.stem_list)
+        self.is_primary_stem_main_target = bool(training.get("target_instrument"))
+
+    # ----------------------------------------------------------------- model
+
+    def load_model(self):
+        if self.is_roformer:
+            self.model_cfg = build_roformer_config(self.model_data, self.model_path or "")
+            self.params = cached_convert(self.model_path, self.model_cfg, convert_roformer)
+        else:
+            from ..models.convert_tfc_tdf import convert_tfc_tdf
+            from ..models.tfc_tdf import TFCTDFConfig, build_tfc_tdf_config
+
+            self.model_cfg = build_tfc_tdf_config(self.model_data)
+            self.params = cached_convert(self.model_path, self.model_cfg, convert_tfc_tdf)
+
+    # ----------------------------------------------------------------- inference
+
+    def separate(self, audio_file_path: str, custom_output_names: Optional[Dict] = None):
+        self.primary_source = None
+        self.secondary_source = None
+        self.audio_file_path = audio_file_path
+        self.audio_file_base = os.path.splitext(os.path.basename(audio_file_path))[0]
+
+        mix = self.prepare_mix(audio_file_path)
+
+        # Short-audio segment-size override (ref: mdxc_separator.py:139-146).
+        if mix.shape[1] / self.sample_rate < 10.0 and not self.override_model_segment_size:
+            self.override_model_segment_size = True
+            self.logger.warning(
+                "Audio shorter than 10s; enabling override_model_segment_size."
+            )
+
+        mix = spec_ops.normalize(mix, self.normalization_threshold, self.amplification_threshold)
+        source = self.demix(mix)
+
+        output_files = []
+        if isinstance(source, dict):
+            is_multi_stem_model = len(self.stem_list) > 2
+            if self.process_all_stems and is_multi_stem_model:
+                for stem_name in self.stem_list:
+                    path = self.get_stem_output_path(stem_name, custom_output_names)
+                    stem = spec_ops.normalize(source[stem_name],
+                                              self.normalization_threshold,
+                                              self.amplification_threshold).T
+                    self.final_process(path, stem, stem_name)
+                    output_files.append(path)
+                return output_files
+
+            if not isinstance(self.primary_source, np.ndarray):
+                self.primary_source = spec_ops.normalize(
+                    source[self.primary_stem_name],
+                    self.normalization_threshold, self.amplification_threshold).T
+            if not isinstance(self.secondary_source, np.ndarray):
+                self.secondary_source = spec_ops.normalize(
+                    source[self.secondary_stem_name],
+                    self.normalization_threshold, self.amplification_threshold).T
+
+            if (not self.output_single_stem
+                    or self.output_single_stem.lower() == self.secondary_stem_name.lower()):
+                path = self.get_stem_output_path(self.secondary_stem_name, custom_output_names)
+                self.final_process(path, self.secondary_source, self.secondary_stem_name)
+                output_files.append(path)
+            if (not self.output_single_stem
+                    or self.output_single_stem.lower() == self.primary_stem_name.lower()):
+                path = self.get_stem_output_path(self.primary_stem_name, custom_output_names)
+                self.final_process(path, self.primary_source, self.primary_stem_name)
+                output_files.append(path)
+        else:
+            if (not self.output_single_stem
+                    or self.output_single_stem.lower() == self.primary_stem_name.lower()):
+                path = self.get_stem_output_path(self.primary_stem_name, custom_output_names)
+                if not isinstance(self.primary_source, np.ndarray):
+                    self.primary_source = source.T
+                self.final_process(path, self.primary_source, self.primary_stem_name)
+                output_files.append(path)
+        return output_files
+
+    def _segment_size(self) -> int:
+        if self.override_model_segment_size:
+            return int(self.segment_size)
+        inference = self.model_data.get("inference") or {}
+        return int(inference.get("dim_t", self.segment_size))
+
+    def _model_fn(self):
+        cfg, params, dtype = self.model_cfg, self.params, self.compute_dtype
+        if self.is_roformer:
+            stereo = cfg.stereo
+
+            def fn(chunks):  # (B, C, chunk) -> (B, S, C, chunk)
+                x = chunks if stereo else chunks.reshape(-1, 1, chunks.shape[-1])
+                out = apply_roformer(params, cfg, x, compute_dtype=dtype)
+                if not stereo:
+                    out = out.reshape(chunks.shape[0], chunks.shape[1], -1, chunks.shape[-1])
+                    out = out.transpose(0, 2, 1, 3)
+                if out.shape[-1] < chunks.shape[-1]:
+                    out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
+                                  + [(0, chunks.shape[-1] - out.shape[-1])])
+                return out[..., : chunks.shape[-1]]
+
+            return fn
+        from ..models.tfc_tdf import apply_tfc_tdf
+
+        def fn(chunks):
+            return apply_tfc_tdf(params, cfg, chunks, compute_dtype=dtype)
+
+        return fn
+
+    def demix(self, mix: np.ndarray):
+        """ref: mdxc_separator.py:257-468 semantics."""
+        orig_mix = mix
+        sample_rate = self.sample_rate
+        if self.pitch_shift != 0:
+            mix, sample_rate = change_pitch_semitones_np(
+                mix, self.sample_rate, semitone_shift=-self.pitch_shift)
+
+        seg = self._segment_size()
+        model_section = self.model_data.get("model") or {}
+        audio_section = self.model_data.get("audio") or {}
+        num_stems = len(self.stem_list)
+
+        if self.is_roformer:
+            stft_hop = int(model_section.get("stft_hop_length",
+                                             audio_section.get("hop_length",
+                                                               self.model_cfg.stft_hop_length)))
+            chunk = stft_hop * (seg - 1)
+            audio_sr = int(audio_section.get("sample_rate", self.sample_rate))
+            desired_step = int(self.overlap * audio_sr)
+            step = chunk if desired_step <= 0 else min(desired_step, chunk)
+            window = np.asarray(hamming_window(chunk))
+            out = overlap_add_demix(
+                self._model_fn(), mix, chunk, step, window,
+                num_stems=num_stems, batch_size=max(1, int(self.batch_size)),
+            )
+        else:
+            hop_length = int(audio_section.get("hop_length", 1024))
+            chunk = hop_length * (seg - 1)
+            hop_size = chunk // int(self.overlap)
+            out = self._demix_unfold(mix, chunk, hop_size, num_stems)
+
+        sources = {}
+        outputs = {name: out[i] for i, name in enumerate(
+            self.stem_list if num_stems > 1 else [self.stem_list[0]])}
+        for key, value in outputs.items():
+            if self.pitch_shift != 0:
+                value = self._pitch_fix(value, sample_rate, orig_mix)
+            sources[key] = np.asarray(value, dtype=np.float32)
+
+        if num_stems > 1:
+            # Multi-stem models never trigger residual subtraction
+            # (ref: mdxc_separator.py:430-433).
+            return sources
+
+        primary = sources[self.stem_list[0]]
+        if self.is_primary_stem_main_target:
+            if primary.shape[1] != orig_mix.shape[1]:
+                primary = spec_ops.match_array_shapes(primary, orig_mix)
+            return {
+                self.primary_stem_name: primary,
+                self.secondary_stem_name: orig_mix - primary,
+            }
+        return primary
+
+    def _demix_unfold(self, mix: np.ndarray, chunk: int, hop_size: int, num_stems: int):
+        """MDX23C path: unfold + uniform-weight accumulate ÷ overlap
+        (ref: mdxc_separator.py:345-404)."""
+        c, total = mix.shape
+        pad_size = hop_size - (total - chunk) % hop_size
+        lead = chunk - hop_size
+        padded = np.concatenate(
+            [np.zeros((c, lead), np.float32), mix.astype(np.float32),
+             np.zeros((c, pad_size + lead), np.float32)], axis=1)
+        window = np.full(chunk, 1.0, dtype=np.float32)
+        positions = np.arange(0, padded.shape[1] - chunk + 1, hop_size, dtype=np.int32)
+        out = overlap_add_demix(
+            self._model_fn(), padded, chunk, hop_size, window,
+            num_stems=num_stems, batch_size=max(1, int(self.batch_size)),
+            positions=positions,
+        )
+        # Reference divides by self.overlap; with uniform windows the divider
+        # equals the per-sample overlap count, matching in the steady state and
+        # exact at the edges (reference leaves edge samples under-weighted, but
+        # those live entirely in the trimmed lead/pad margins).
+        return out[..., lead: lead + total]
+
+    def _pitch_fix(self, source: np.ndarray, sr_pitched: int, orig_mix: np.ndarray):
+        source = change_pitch_semitones_np(source, sr_pitched, semitone_shift=self.pitch_shift)[0]
+        return spec_ops.match_array_shapes(source, orig_mix)

@@ -1,0 +1,1 @@
+from .separator import Separator  # noqa: F401
