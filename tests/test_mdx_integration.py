@@ -1,0 +1,159 @@
+"""End-to-end MDX separator test: torch-exported Conv-TDF ONNX model, full
+demix parity vs an emulation of the reference chunk loop
+(ref: mdx_separator.py:293-450)."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, custom_opsets: model_bytes
+
+from test_onnx_jax import MiniConvTDF  # reuse the Conv-TDF oracle
+
+from audio_separator_tpu.io import audio as audio_io
+
+N_FFT, HOP, DIM_F, SEGMENT = 512, 128, 128, 32
+TRIM = N_FFT // 2
+CHUNK = HOP * (SEGMENT - 1)
+
+
+def _torch_stft_packed(x, dim_f):
+    win = torch.hann_window(N_FFT)
+    b, c, t = x.shape
+    spec = torch.stft(x.reshape(-1, t), n_fft=N_FFT, hop_length=HOP, window=win,
+                      center=True, return_complex=False)
+    spec = spec.permute(0, 3, 1, 2).reshape(b, c * 2, -1, spec.shape[2])
+    return spec[..., :dim_f, :]
+
+
+def _torch_istft_packed(spec):
+    win = torch.hann_window(N_FFT)
+    b, c2, dim_f, t = spec.shape
+    n_bins = N_FFT // 2 + 1
+    spec = torch.nn.functional.pad(spec, (0, 0, 0, n_bins - dim_f))
+    spec = spec.reshape(b, c2 // 2, 2, n_bins, t).reshape(-1, 2, n_bins, t)
+    spec = spec.permute(0, 2, 3, 1).contiguous()
+    wave = torch.istft(torch.view_as_complex(spec), n_fft=N_FFT, hop_length=HOP,
+                       window=win, center=True)
+    return wave.reshape(b, c2 // 2, -1)
+
+
+def _reference_mdx_demix(model, mix, overlap, is_match_mix=False):
+    chunk_size = CHUNK
+    if is_match_mix:
+        overlap = 0.02
+    gen_size = chunk_size - 2 * TRIM
+    pad = gen_size + TRIM - (mix.shape[-1] % gen_size)
+    mixture = np.concatenate([np.zeros((2, TRIM), np.float32), mix,
+                              np.zeros((2, pad), np.float32)], 1)
+    step = int((1 - overlap) * chunk_size)
+    result = np.zeros((1, 2, mixture.shape[-1]), np.float32)
+    divider = np.zeros((1, 2, mixture.shape[-1]), np.float32)
+    for i in range(0, mixture.shape[-1], step):
+        start, end = i, min(i + chunk_size, mixture.shape[-1])
+        actual = end - start
+        window = np.tile(np.hanning(actual)[None, None, :], (1, 2, 1))
+        part = mixture[:, start:end]
+        if end != i + chunk_size:
+            part = np.concatenate([part, np.zeros((2, (i + chunk_size) - end), np.float32)], -1)
+        with torch.no_grad():
+            spek = _torch_stft_packed(torch.from_numpy(part[None]), DIM_F)
+            spek[:, :, :3, :] *= 0
+            pred = spek if is_match_mix else model(spek)
+            wave = _torch_istft_packed(pred).numpy()
+        wave[..., :actual] *= window
+        divider[..., start:end] += window
+        result[..., start:end] += wave[..., :actual]
+    tar = result / divider
+    return tar[0][:, TRIM:-TRIM][:, : mix.shape[-1]]
+
+
+@pytest.fixture(scope="module")
+def mdx_model(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mdx-model")
+    torch.manual_seed(11)
+    model = MiniConvTDF(f=DIM_F).eval()
+    path = os.path.join(tmp, "UVR_test_mdx.onnx")
+    torch.onnx.export(model, torch.randn(1, 4, DIM_F, SEGMENT), path,
+                      input_names=["input"], output_names=["output"], dynamo=False)
+    model_data = {
+        "compensate": 1.035,
+        "mdx_dim_f_set": DIM_F,
+        "mdx_dim_t_set": 5,  # 2**5 = 32
+        "mdx_n_fft_scale_set": N_FFT,
+        "primary_stem": "Instrumental",
+    }
+    return model, path, model_data
+
+
+def test_mdx_end_to_end(mdx_model, fixtures_dir, tmp_path):
+    from audio_separator_tpu.architectures.mdx import MDXSeparator
+
+    model, onnx_path, model_data = mdx_model
+    out_dir = str(tmp_path / "out")
+    common = {
+        "logger": logging.getLogger("test"),
+        "model_name": "UVR_test_mdx",
+        "model_path": onnx_path,
+        "model_data": model_data,
+        "output_dir": out_dir,
+        "output_format": "WAV",
+        "normalization_threshold": 0.9,
+        "amplification_threshold": 0.0,
+        "sample_rate": 44100,
+    }
+    arch = {"hop_length": HOP, "segment_size": SEGMENT, "overlap": 0.25,
+            "batch_size": 2, "enable_denoise": False}
+    sep = MDXSeparator(common_config=common, arch_config=arch)
+    assert sep.primary_stem_name == "Instrumental"
+    assert sep.secondary_stem_name == "Vocals"
+
+    input_path = os.path.join(fixtures_dir, "mardy20s.flac")
+    outputs = sep.separate(input_path)
+    assert len(outputs) == 2
+    for p in outputs:
+        assert os.path.exists(os.path.join(out_dir, p))
+
+    # demix parity on a short slice
+    mix, _ = audio_io.load_audio(input_path, sample_rate=44100, channels=2)
+    mix = np.ascontiguousarray(mix[:, : 44100 * 2])
+    got = sep.demix(mix)
+    ref = _reference_mdx_demix(model, mix, overlap=0.25)
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert err < 2e-3, f"relative error {err}"
+
+    # match-mix mode (no model): near-exact reconstruction path
+    got_mm = sep.demix(mix, is_match_mix=True)
+    ref_mm = _reference_mdx_demix(model, mix, overlap=0.25, is_match_mix=True)
+    err_mm = np.abs(got_mm - ref_mm).max() / max(np.abs(ref_mm).max(), 1e-6)
+    assert err_mm < 2e-3
+
+
+def test_mdx_denoise_mode(mdx_model, tmp_path):
+    from audio_separator_tpu.architectures.mdx import MDXSeparator
+
+    model, onnx_path, model_data = mdx_model
+    common = {
+        "logger": logging.getLogger("test"),
+        "model_name": "m",
+        "model_path": onnx_path,
+        "model_data": model_data,
+        "output_dir": str(tmp_path),
+        "output_format": "WAV",
+        "normalization_threshold": 0.9,
+        "amplification_threshold": 0.0,
+        "sample_rate": 44100,
+    }
+    arch = {"hop_length": HOP, "segment_size": SEGMENT, "overlap": 0.5,
+            "batch_size": 1, "enable_denoise": True}
+    sep = MDXSeparator(common_config=common, arch_config=arch)
+    mix = np.random.default_rng(0).standard_normal((2, 20000)).astype(np.float32) * 0.1
+    out = sep.demix(mix)
+    assert out.shape == mix.shape
+    assert np.isfinite(out).all()
