@@ -49,9 +49,12 @@ class MDXSeparator(BaseSeparator):
         self.gen_size = self.chunk_size - 2 * self.trim
 
     def load_model(self):
+        import jax
+
         fn, params, in_names, out_names = onnx_to_jax(self.model_path)
         self._onnx_fn = fn
-        self._onnx_params = params
+        # Device-resident weights: one transfer at load time.
+        self._onnx_params = jax.device_put(params)
 
     # ------------------------------------------------------------- model fns
 

@@ -62,13 +62,17 @@ class MDXCSeparator(BaseSeparator):
     def load_model(self):
         if self.is_roformer:
             self.model_cfg = build_roformer_config(self.model_data, self.model_path or "")
-            self.params = cached_convert(self.model_path, self.model_cfg, convert_roformer)
+            params = cached_convert(self.model_path, self.model_cfg, convert_roformer)
         else:
             from ..models.convert_tfc_tdf import convert_tfc_tdf
-            from ..models.tfc_tdf import TFCTDFConfig, build_tfc_tdf_config
+            from ..models.tfc_tdf import build_tfc_tdf_config
 
             self.model_cfg = build_tfc_tdf_config(self.model_data)
-            self.params = cached_convert(self.model_path, self.model_cfg, convert_tfc_tdf)
+            params = cached_convert(self.model_path, self.model_cfg, convert_tfc_tdf)
+        # Resident device copy in the compute dtype — one H2D transfer at load,
+        # not one per demix call.
+        self.params = jax.device_put(
+            jax.tree.map(lambda a: jnp.asarray(a, self.compute_dtype), params))
 
     # ----------------------------------------------------------------- inference
 

@@ -251,6 +251,9 @@ def apply_roformer(
     (ref: bs_roformer.py:418-514, mel_band_roformer.py:332-442).
     """
     layout = band_layout(cfg)
+    # One-time cast of the weight pytree to the compute dtype (fused by XLA);
+    # norms still accumulate in fp32 internally.
+    params = jax.tree.map(lambda a: jnp.asarray(a, compute_dtype), params)
     b, s, t = audio.shape
     assert s == cfg.audio_channels, f"expected {cfg.audio_channels} channels, got {s}"
     n_fft, hop = cfg.stft_n_fft, cfg.stft_hop_length

@@ -1,0 +1,110 @@
+"""Device-mesh construction and sharding policies.
+
+The reference is strictly single-process/single-device (SURVEY §2.8: no
+DP/TP/collectives anywhere); its only parallelism is per-chunk batching. Here
+multi-chip scaling is first-class and idiomatic JAX SPMD:
+
+* ``data`` axis — chunk-batch data parallelism: the windows of a track (or
+  windows of many tracks) are independent, so the demix batch dimension
+  shards cleanly with zero communication.
+* ``model`` axis — tensor parallelism inside the RoFormer blocks: QKV/FF
+  weights are sharded on their output feature dim and the output projections
+  on their input dim, so XLA's SPMD partitioner inserts the single
+  all-reduce per block that Megatron-style TP requires — over ICI, chosen by
+  the compiler, not hand-written NCCL.
+
+Everything routes through ``NamedSharding`` + ``jax.jit`` in/out shardings;
+no host-side communication code exists (XLA emits the collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              tp: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ("data", "model") mesh over the available devices.
+
+    Defaults to pure data parallelism (tp=1); pass ``tp`` to carve a tensor-
+    parallel minor axis (minor = contiguous devices → ICI-adjacent on TPU).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if tp is None and dp is None:
+        dp, tp = n, 1
+    elif tp is None:
+        tp = n // dp
+    elif dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp({dp}) * tp({tp}) != device count ({n})")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, rank: int, batch_axis: int = 0) -> NamedSharding:
+    spec = [None] * rank
+    spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_array(x, sharding: NamedSharding):
+    return jax.device_put(x, sharding)
+
+
+# ---------------------------------------------------------------------------
+# RoFormer parameter sharding policy (Megatron-style TP on the "model" axis)
+
+
+def roformer_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """PartitionSpec tree matching models/roformer.py's params pytree.
+
+    Transformer stacks carry leading (depth, inner_depth) axes, so feature
+    dims sit at the trailing positions:
+      wqkv (D, L, dim, 3*h*dh)   → shard last (column-parallel QKV)
+      wo   (D, L, h*dh, dim)     → shard -2   (row-parallel out-proj, psum)
+      ff_w1(D, L, dim, hidden)   → shard last (column-parallel)
+      ff_w2(D, L, hidden, dim)   → shard -2   (row-parallel, psum)
+    Gates/norms/biases replicate; band split & mask estimators replicate
+    (they are a tiny fraction of FLOPs).
+    """
+    col = {"wqkv", "ff_w1"}
+    row = {"wo", "ff_w2"}
+
+    def spec_for(path_key: str, leaf) -> NamedSharding:
+        rank = np.ndim(leaf)
+        if path_key in col:
+            spec = [None] * rank
+            spec[-1] = "model"
+            return NamedSharding(mesh, P(*spec))
+        if path_key in row:
+            spec = [None] * rank
+            spec[-2] = "model"
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    def walk(tree, key=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, k) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(walk(v, key) for v in tree)
+        return spec_for(key, tree)
+
+    return walk(params)
+
+
+def shard_roformer_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    shardings = roformer_param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Headline benchmark: BS-RoFormer (flagship, ep_317-class config) real-time
+factor on one TPU chip.
+
+Runs the production demix path — windowed chunk batching, STFT → 12-layer
+axial RoFormer → mask → iSTFT fused in one jitted scan — over a synthetic
+4-minute stereo track with random weights (no network egress for real
+checkpoints; FLOP/byte profile is identical).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.json): >= 50x realtime on one v5e chip.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from audio_separator_tpu.models.init_params import flagship_config, init_roformer_params
+    from audio_separator_tpu.models.roformer import apply_roformer
+    from audio_separator_tpu.ops.demix import overlap_add_demix
+    from audio_separator_tpu.ops.stft import hamming_window
+
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 240.0
+    sr = 44100
+    cfg = flagship_config()
+    dim_t = 801  # model-default segment (inference.dim_t for ep_317-class)
+    chunk = cfg.stft_hop_length * (dim_t - 1)  # 352,800 samples ≈ 8 s
+    overlap_s = 8  # reference default mdxc overlap
+    step = min(overlap_s * sr, chunk)
+    batch_size = 2
+
+    params = init_roformer_params(cfg, seed=0)
+    params = jax.device_put(jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params))
+
+    def model_fn(chunks):  # (B, 2, chunk) -> (B, S, 2, chunk)
+        out = apply_roformer(params, cfg, chunks, compute_dtype=jnp.bfloat16)
+        return out[..., : chunks.shape[-1]]
+
+    rng = np.random.default_rng(0)
+    window = np.asarray(hamming_window(chunk))
+
+    def run(n_seconds):
+        mix = (rng.standard_normal((2, int(n_seconds * sr))) * 0.1).astype(np.float32)
+        return overlap_add_demix(model_fn, mix, chunk, step, window,
+                                 num_stems=cfg.num_stems, batch_size=batch_size)
+
+    run(2 * chunk / sr + 1.0)  # warmup / compile
+    t0 = time.time()
+    out = run(seconds)
+    elapsed = time.time() - t0
+    assert np.isfinite(out).all()
+
+    rtf = seconds / elapsed
+    print(json.dumps({
+        "metric": "bs_roformer_rtf_1chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""VR network + multiband pipeline parity vs torch oracles."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from audio_separator_tpu.models.vr_nets import (
+    predict_mask_v5,
+    predict_mask_v51,
+    state_dict_to_tree,
+)
+
+from torch_oracles.vr_oracle import CascadedASPPNetOracle, CascadedNetOracle
+
+# Small sp-class capacity table entry (nets.py:79 sp_model_arch row).
+SP_CAPS = [(2, 16), (2, 16), (18, 8, 1, 1, 0), (8, 16), (34, 16, 1, 1, 0),
+           (16, 32), (32, 2, 1), (16, 2, 1), (16, 2, 1)]
+
+
+def _randomize(model, seed=0, scale=0.1):
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            p.copy_(torch.randn_like(p) * scale)
+        for name, b in model.named_buffers():
+            if name.endswith("running_var"):
+                b.copy_(torch.rand_like(b) + 0.5)
+            elif name.endswith("running_mean"):
+                b.copy_(torch.randn_like(b) * 0.1)
+    return model
+
+
+def test_cascaded_aspp_net_v5_parity():
+    n_fft_bins = 256  # network n_fft param = bins * 2
+    arch = 31191
+    oracle = _randomize(CascadedASPPNetOracle(n_fft_bins, SP_CAPS, arch)).eval()
+    params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}))
+
+    x = np.abs(np.random.default_rng(0).standard_normal((1, 2, 129, 512))).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle.predict_mask(torch.from_numpy(x)).numpy()
+    got = np.asarray(predict_mask_v5(params, x, n_fft_bins, arch, offset=128))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_cascaded_aspp_net_v5_seven_layer():
+    """33966 arch uses 7-layer ASPP with shared conv6/conv7 weights."""
+    n_fft_bins = 256
+    arch = 33966
+    oracle = _randomize(CascadedASPPNetOracle(n_fft_bins, SP_CAPS, arch), seed=1).eval()
+    params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}))
+    x = np.abs(np.random.default_rng(1).standard_normal((1, 2, 129, 384))).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle.predict_mask(torch.from_numpy(x)).numpy()
+    got = np.asarray(predict_mask_v5(params, x, n_fft_bins, arch, offset=128))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_cascaded_net_v51_parity():
+    n_fft_bins = 256
+    oracle = _randomize(CascadedNetOracle(n_fft_bins, nout=8, nout_lstm=16), seed=2).eval()
+    params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}))
+    x = np.abs(np.random.default_rng(2).standard_normal((1, 2, 129, 256))).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle.predict_mask(torch.from_numpy(x)).numpy()
+    got = np.asarray(predict_mask_v51(params, x, n_fft_bins, offset=64))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-4)
+
+
+def test_vr_separator_end_to_end(fixtures_dir, tmp_path):
+    """Full VR flow with a synthetic v5 checkpoint over the 1-band 44100
+    model params."""
+    from audio_separator_tpu.architectures.vr import VRSeparator
+
+    n_fft_bins = 2048  # matches 1band_sr44100_hl512 bins=1024 → bins*2
+    arch = 31191
+    oracle = _randomize(CascadedASPPNetOracle(n_fft_bins, SP_CAPS, arch), seed=3).eval()
+    ckpt = str(tmp_path / "2_HP-test.pth")
+    torch.save(oracle.state_dict(), ckpt)
+
+    out_dir = str(tmp_path / "out")
+    common = {
+        "logger": logging.getLogger("test"),
+        "model_name": "2_HP-test",
+        "model_path": ckpt,
+        "model_data": {"vr_model_param": "1band_sr44100_hl512",
+                       "primary_stem": "Instrumental"},
+        "output_dir": out_dir,
+        "output_format": "WAV",
+        "normalization_threshold": 0.9,
+        "amplification_threshold": 0.0,
+        "sample_rate": 44100,
+    }
+    arch_cfg = {"batch_size": 2, "window_size": 512, "aggression": 5,
+                "enable_tta": False, "enable_post_process": False,
+                "post_process_threshold": 0.2, "high_end_process": False}
+    sep = VRSeparator(common_config=common, arch_config=arch_cfg)
+    # pin the architecture (file size of the tiny test ckpt would mis-key it)
+    sep._params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}))
+    sep._arch_size = arch
+    sep._offset = 128
+
+    input_path = os.path.join(fixtures_dir, "mardy20s.flac")
+    outputs = sep.separate(input_path)
+    assert len(outputs) == 2
+    for p in outputs:
+        full = os.path.join(out_dir, p)
+        assert os.path.exists(full)
+    # stems + masks are complementary: y + v ≈ mix spectrally; check rough
+    # energy conservation on the waveforms
+    from audio_separator_tpu.io import audio as audio_io
+
+    mix, _ = audio_io.load_audio(input_path, sample_rate=44100)
+    y, _ = audio_io.load_audio(os.path.join(out_dir, outputs[0]))
+    v, _ = audio_io.load_audio(os.path.join(out_dir, outputs[1]))
+    n = min(mix.shape[1], y.shape[1], v.shape[1])
+    recon = y[:, :n] + v[:, :n]
+    corr = np.corrcoef(recon.ravel(), mix[:, :n].ravel())[0, 1]
+    assert corr > 0.98, f"stems don't sum to mix (corr={corr})"
+
+
+def test_vr_tta_mode(tmp_path):
+    """TTA averages a half-window-shifted second pass (vr_separator.py:353-360)."""
+    from audio_separator_tpu.architectures.vr import VRSeparator
+
+    n_fft_bins = 256
+    oracle = _randomize(CascadedASPPNetOracle(n_fft_bins, SP_CAPS, 31191), seed=4).eval()
+    common = {
+        "logger": logging.getLogger("test"),
+        "model_name": "m", "model_path": str(tmp_path / "x.pth"),
+        "model_data": {"vr_model_param": "1band_sr44100_hl512", "primary_stem": "Vocals"},
+        "output_dir": str(tmp_path), "output_format": "WAV",
+        "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+        "sample_rate": 44100,
+    }
+    arch_cfg = {"batch_size": 1, "window_size": 512, "aggression": 5,
+                "enable_tta": True, "enable_post_process": False,
+                "post_process_threshold": 0.2, "high_end_process": False}
+    sep = VRSeparator(common_config=common, arch_config=arch_cfg)
+    sep._params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}))
+    sep._arch_size = 31191
+    sep._offset = 128
+    # bins for this modelparam set is 1024; fake a small spec consistent with
+    # the small oracle by overriding mp bins
+    sep.mp = dict(sep.mp)
+    sep.mp["bins"] = 128
+    sep.aggressiveness["split_bin"] = 64
+    spec = (np.random.default_rng(3).standard_normal((2, 129, 700))
+            + 1j * np.random.default_rng(4).standard_normal((2, 129, 700))).astype(np.complex64)
+    y, v = sep.inference_vr(spec, sep.aggressiveness)
+    assert y.shape == spec.shape and v.shape == spec.shape
+    assert np.isfinite(y).all() and np.isfinite(v).all()
