@@ -1,0 +1,190 @@
+"""Demucs v4 architecture separator.
+
+Behaviour-parity re-design of the reference DemucsSeparator + apply_model
+(ref: audio_separator/separator/architectures/demucs_separator.py:26-195,
+uvr_lib_v5/demucs/apply.py:124-294): bag-of-models with per-source weights,
+shift-trick TTA, split mode with triangular-weight overlap-add and centred
+context padding — executed through the shared jitted demix engine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.demucs_load import load_demucs_model_or_bag
+from ..models.htdemucs import apply_htdemucs
+from ..ops.demix import overlap_add_demix
+from ..separator.common import BaseSeparator
+
+DEMUCS_2_SOURCE = ["drums", "bass", "other", "vocals"]  # unused, parity note
+DEMUCS_4_SOURCE_MAPPER = {
+    BaseSeparator.BASS_STEM: 0,
+    BaseSeparator.DRUM_STEM: 1,
+    BaseSeparator.OTHER_STEM: 2,
+    BaseSeparator.VOCAL_STEM: 3,
+}
+DEMUCS_2_SOURCE_MAPPER = {
+    BaseSeparator.INST_STEM: 0,
+    BaseSeparator.VOCAL_STEM: 1,
+}
+DEMUCS_6_SOURCE_MAPPER = {
+    BaseSeparator.BASS_STEM: 0,
+    BaseSeparator.DRUM_STEM: 1,
+    BaseSeparator.OTHER_STEM: 2,
+    BaseSeparator.VOCAL_STEM: 3,
+    BaseSeparator.GUITAR_STEM: 4,
+    BaseSeparator.PIANO_STEM: 5,
+}
+
+
+class DemucsSeparator(BaseSeparator):
+    def __init__(self, common_config: Dict, arch_config: Dict):
+        super().__init__(config=common_config)
+        self.segment_size = arch_config.get("segment_size", "Default")
+        self.shifts = arch_config.get("shifts", 2)
+        self.overlap = arch_config.get("overlap", 0.25)
+        self.segments_enabled = arch_config.get("segments_enabled", True)
+        self.batch_size = int(arch_config.get("batch_size", 1) or 1)
+        self.compute_dtype = jnp.float32  # demucs is precision-sensitive
+
+    # ------------------------------------------------------------------ model
+
+    def _load_models(self):
+        repo_dir = os.path.dirname(self.model_path)
+        models, weights, segment = load_demucs_model_or_bag(self.model_path, repo_dir)
+        # CLI segment override (ref: apply.demucs_segments:263-294)
+        if self.segment_size != "Default":
+            try:
+                seg = int(self.segment_size)
+                models = [(cfg.__class__(**{**cfg.__dict__, "segment": float(seg)}), p)
+                          for cfg, p in models]
+            except (TypeError, ValueError):
+                pass
+        elif segment is not None:
+            models = [(cfg.__class__(**{**cfg.__dict__, "segment": float(segment)}), p)
+                      for cfg, p in models]
+        return models, weights
+
+    # --------------------------------------------------------------- separate
+
+    def separate(self, audio_file_path: str, custom_output_names: Optional[Dict] = None):
+        self.audio_file_path = audio_file_path
+        self.audio_file_base = os.path.splitext(os.path.basename(audio_file_path))[0]
+
+        mix = self.prepare_mix(audio_file_path)
+        source = self.demix_demucs(mix)
+
+        n_sources = len(source)
+        source_map = {2: DEMUCS_2_SOURCE_MAPPER, 6: DEMUCS_6_SOURCE_MAPPER}.get(
+            n_sources, DEMUCS_4_SOURCE_MAPPER)
+
+        output_files = []
+        for stem_name, idx in source_map.items():
+            if (self.output_single_stem is not None
+                    and stem_name.lower() != self.output_single_stem.lower()):
+                continue
+            path = self.get_stem_output_path(stem_name, custom_output_names)
+            self.final_process(path, source[idx].T, stem_name)
+            output_files.append(path)
+        return output_files
+
+    # ------------------------------------------------------------------ demix
+
+    def demix_demucs(self, mix: np.ndarray) -> np.ndarray:
+        """(ref: demucs_separator.py:162-195): standardize, bag apply with
+        shifts+split, un-standardize, swap sources 0 and 1."""
+        models, weights = self._load_models()
+        mix = np.asarray(mix, dtype=np.float32)
+        ref_mean = float(mix.mean(axis=0).mean())
+        ref_std = float(mix.mean(axis=0).std(ddof=1))
+        norm = (mix - ref_mean) / (ref_std + 1e-20)
+
+        n_sources = len(models[0][0].sources)
+        estimates = np.zeros((n_sources, 2, mix.shape[-1]), dtype=np.float32)
+        totals = [0.0] * n_sources
+        rng = np.random.default_rng(0)
+        for (cfg, params), weight in zip(models, weights):
+            device_params = jax.device_put(params)
+            out = self._apply_one(cfg, device_params, norm, rng)
+            for k, w in enumerate(weight):
+                out[k] *= w
+                totals[k] += w
+            estimates += out
+        for k in range(n_sources):
+            estimates[k] /= totals[k]
+
+        sources = estimates * ref_std + ref_mean
+        sources[[0, 1]] = sources[[1, 0]]
+        return sources
+
+    def _apply_one(self, cfg, params, mix: np.ndarray, rng) -> np.ndarray:
+        """apply_model for one sub-model: shift trick over split overlap-add
+        (ref: apply.py:200-260)."""
+        length = mix.shape[-1]
+        n_sources = len(cfg.sources)
+        if self.shifts:
+            max_shift = int(0.5 * cfg.samplerate)
+            padded = np.pad(mix, ((0, 0), (max_shift, max_shift)))
+            out = np.zeros((n_sources, 2, length), dtype=np.float32)
+            for _ in range(self.shifts):
+                offset = int(rng.integers(0, max_shift + 1))
+                shifted = padded[:, offset : offset + length + max_shift]
+                shifted_out = self._apply_split(cfg, params, shifted)
+                out += shifted_out[..., max_shift - offset :][..., :length]
+            return out / self.shifts
+        return self._apply_split(cfg, params, mix)
+
+    def _apply_split(self, cfg, params, mix: np.ndarray) -> np.ndarray:
+        length = mix.shape[-1]
+        n_sources = len(cfg.sources)
+        training_len = cfg.training_length
+
+        def model_fn(chunks):  # (B, 2, training_len) -> (B, S, 2, training_len)
+            return apply_htdemucs(params, cfg, chunks, compute_dtype=self.compute_dtype)
+
+        if not self.segments_enabled:
+            # direct eval on the full (padded) track
+            target = max(length, training_len) if cfg.use_train_segment else length
+            delta = target - length
+            padded = np.pad(mix, ((0, 0), (delta // 2, delta - delta // 2)))
+            out = np.asarray(model_fn(jnp.asarray(padded[None])))[0]
+            start = (out.shape[-1] - length) // 2
+            return out[..., start : start + length]
+
+        segment = training_len
+        stride = int((1 - self.overlap) * segment)
+        offsets = list(range(0, length, stride))
+
+        # triangular transition weight (ref: apply.py:226-230)
+        tri = np.concatenate([np.arange(1, segment // 2 + 1),
+                              np.arange(segment - segment // 2, 0, -1)]).astype(np.float32)
+        tri = tri / tri.max()
+
+        # Build per-offset gather positions + weight rows over a padded buffer.
+        pad_lead = segment  # enough room for centred context of tail chunks
+        buf = np.pad(mix, ((0, 0), (pad_lead, pad_lead + segment)))
+        positions, rows = [], []
+        divider = np.zeros(buf.shape[-1], dtype=np.float32)
+        for offset in offsets:
+            chunk_len = min(segment, length - offset)
+            delta = segment - chunk_len
+            start = offset - delta // 2  # centred context (TensorChunk.padded)
+            row = np.zeros(segment, dtype=np.float32)
+            row[delta // 2 : delta // 2 + chunk_len] = tri[:chunk_len]
+            positions.append(pad_lead + start)
+            rows.append(row)
+            divider[pad_lead + offset : pad_lead + offset + chunk_len] += tri[:chunk_len]
+        divider = np.maximum(divider, 1e-10)
+
+        out = overlap_add_demix(
+            model_fn, buf, segment, stride, np.stack(rows),
+            num_stems=n_sources, batch_size=self.batch_size,
+            positions=np.asarray(positions, dtype=np.int32),
+            divider=divider,
+        )
+        return out[..., pad_lead : pad_lead + length]

@@ -1,0 +1,172 @@
+"""HTDemucs JAX implementation parity vs a torch oracle with
+checkpoint-identical state_dict keys."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from audio_separator_tpu.models.htdemucs import (
+    HTDemucsConfig,
+    _spectro,
+    apply_htdemucs,
+)
+
+from torch_oracles.htdemucs_oracle import HTDemucsOracle, spectro
+
+
+def _tree(sd):
+    tree = {}
+    for key, value in sd.items():
+        node = tree
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value.numpy()
+    return tree
+
+
+def test_normalized_stft_matches_torch():
+    x = np.random.default_rng(0).standard_normal((2, 8192)).astype(np.float32)
+    ref = spectro(torch.from_numpy(x), 1024, 256).numpy()
+    got = np.asarray(_spectro(jnp.asarray(x), 1024, 256))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def oracle_pair():
+    torch.manual_seed(0)
+    sources = ("drums", "bass", "other", "vocals")
+    oracle = HTDemucsOracle(sources, channels=8, nfft=1024, depth=3, t_layers=3,
+                            t_heads=4, segment=0.5).eval()
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+    cfg = HTDemucsConfig(
+        sources=sources, channels=8, nfft=1024, depth=3, t_layers=3, t_heads=4,
+        segment=0.5, use_train_segment=True,
+    )
+    params = jax.device_put(_tree(oracle.state_dict()))
+    return oracle, cfg, params
+
+
+def test_htdemucs_forward_parity(oracle_pair):
+    oracle, cfg, params = oracle_pair
+    length = cfg.training_length  # 0.5 s
+    mix = (np.random.default_rng(1).standard_normal((1, 2, length)) * 0.2).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(mix)).numpy()
+    got = np.asarray(apply_htdemucs(params, cfg, jnp.asarray(mix)))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=5e-4 * max(scale, 1e-3), rtol=0)
+
+
+def test_demucs_separator_end_to_end(oracle_pair, fixtures_dir, tmp_path):
+    """Full Demucs flow: save a .th package + yaml bag, separate a fixture."""
+    import logging
+    import os
+    import yaml as yaml_mod
+
+    from audio_separator_tpu.architectures.demucs import DemucsSeparator
+
+    oracle, cfg, params = oracle_pair
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    # Use the loader's stub class so the pickle records the real module path
+    # ("demucs.htdemucs.HTDemucs") exactly like genuine checkpoints.
+    import sys
+
+    from audio_separator_tpu.models.demucs_load import _ensure_stub_modules
+
+    _ensure_stub_modules()
+    fake_klass = sys.modules["demucs.htdemucs"].HTDemucs
+
+    package = {
+        "klass": fake_klass,
+        "args": (),
+        "kwargs": {"sources": list(cfg.sources), "channels": 8, "nfft": 1024,
+                   "depth": 3, "t_layers": 3, "t_heads": 4, "segment": 0.5},
+        "state": oracle.state_dict(),
+    }
+    torch.save(package, repo / "abcdef12.th")
+    with open(repo / "htdemucs_test.yaml", "w") as f:
+        yaml_mod.safe_dump({"models": ["abcdef12"], "weights": [[1.0] * 4]}, f)
+
+    out_dir = str(tmp_path / "out")
+    common = {
+        "logger": logging.getLogger("test"),
+        "model_name": "htdemucs_test",
+        "model_path": str(repo / "htdemucs_test.yaml"),
+        "model_data": {"primary_stem": "Vocals"},
+        "output_dir": out_dir,
+        "output_format": "WAV",
+        "normalization_threshold": 0.9,
+        "amplification_threshold": 0.0,
+        "sample_rate": 44100,
+    }
+    arch = {"segment_size": "Default", "shifts": 0, "overlap": 0.25,
+            "segments_enabled": True, "batch_size": 2}
+    sep = DemucsSeparator(common_config=common, arch_config=arch)
+
+    input_path = os.path.join(fixtures_dir, "mardy20s.flac")
+    # trim to 3 s for speed by decoding + re-encoding a snippet
+    from audio_separator_tpu.io import audio as audio_io
+
+    pcm, sr = audio_io.load_audio(input_path, sample_rate=44100)
+    short = str(tmp_path / "short.wav")
+    audio_io.save_audio(short, pcm[:, : sr * 3], sr)
+
+    outputs = sep.separate(short)
+    assert len(outputs) == 4
+    names = "".join(outputs)
+    for stem in ("Vocals", "Drums", "Bass", "Other"):
+        assert stem in names
+    for p in outputs:
+        assert os.path.exists(os.path.join(out_dir, p))
+
+
+def test_demucs_split_matches_direct_apply(oracle_pair):
+    """Split overlap-add over a track == reference loop emulation."""
+    import logging
+
+    from audio_separator_tpu.architectures.demucs import DemucsSeparator
+
+    oracle, cfg, params = oracle_pair
+    seg = cfg.training_length
+    length = int(seg * 2.6)
+    mix = (np.random.default_rng(2).standard_normal((2, length)) * 0.2).astype(np.float32)
+
+    sep = DemucsSeparator.__new__(DemucsSeparator)
+    sep.overlap = 0.25
+    sep.segments_enabled = True
+    sep.batch_size = 1
+    sep.compute_dtype = jnp.float32
+    sep.shifts = 0
+    got = sep._apply_split(cfg, jax.device_put(params), mix)
+
+    # reference emulation (apply.py:215-250)
+    stride = int((1 - 0.25) * seg)
+    tri = np.concatenate([np.arange(1, seg // 2 + 1), np.arange(seg - seg // 2, 0, -1)]).astype(np.float32)
+    tri /= tri.max()
+    out = np.zeros((4, 2, length), np.float32)
+    sum_w = np.zeros(length, np.float32)
+    with torch.no_grad():
+        for offset in range(0, length, stride):
+            chunk_len = min(seg, length - offset)
+            delta = seg - chunk_len
+            start = offset - delta // 2
+            lo, hi = max(0, start), min(length, start + seg)
+            padded = np.zeros((2, seg), np.float32)
+            padded[:, lo - start : hi - start] = mix[:, lo:hi]
+            o = oracle(torch.from_numpy(padded[None]))[0].numpy()
+            trim_start = (seg - chunk_len) // 2
+            chunk_out = o[..., trim_start : trim_start + chunk_len]
+            out[..., offset : offset + chunk_len] += tri[:chunk_len] * chunk_out
+            sum_w[offset : offset + chunk_len] += tri[:chunk_len]
+    ref = out / sum_w
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=1e-3 * max(scale, 1e-3), rtol=0)
