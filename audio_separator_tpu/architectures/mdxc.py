@@ -64,7 +64,7 @@ class MDXCSeparator(BaseSeparator):
             self.model_cfg = build_roformer_config(self.model_data, self.model_path or "")
             params = cached_convert(self.model_path, self.model_cfg, convert_roformer)
         else:
-            from ..models.convert_tfc_tdf import convert_tfc_tdf
+            from ..models.convert import convert_tfc_tdf
             from ..models.tfc_tdf import build_tfc_tdf_config
 
             self.model_cfg = build_tfc_tdf_config(self.model_data)

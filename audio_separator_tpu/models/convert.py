@@ -157,6 +157,25 @@ def convert_roformer(sd: Dict[str, np.ndarray], cfg: RoformerConfig) -> Dict[str
     return params
 
 
+def tree_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """'a.b.c' keys → nested tree (drops num_batches_tracked buffers)."""
+    tree: Dict[str, Any] = {}
+    for key, value in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        node = tree
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = np.asarray(value)
+    return tree
+
+
+def convert_tfc_tdf(sd: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """TFC-TDF v3 checkpoints map directly to a path-addressed tree."""
+    return tree_from_state_dict(sd)
+
+
 # ---------------------------------------------------------------------------
 # Pytree cache (npz) so steady-state inference is torch-free.
 
