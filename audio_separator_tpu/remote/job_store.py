@@ -1,0 +1,92 @@
+"""Job status stores for the remote API.
+
+The reference persists job status in Modal Dict / Firestore
+(ref: remote/job_store.py:14-73, deploy_modal.py:212-228). Here the same
+interface is provided by an in-memory store (single server) and a filesystem
+store (shared volume / multi-worker); a Firestore adapter can slot in where
+google-cloud libraries are available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Dict, Optional
+
+
+class InMemoryJobStore:
+    def __init__(self):
+        self._jobs: Dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    def set_job_status(self, task_id: str, status_data: dict) -> None:
+        with self._lock:
+            self._jobs[task_id] = {**status_data, "_updated_at": time.time()}
+
+    def get_job_status(self, task_id: str) -> Optional[dict]:
+        with self._lock:
+            data = self._jobs.get(task_id)
+            return dict(data) if data else None
+
+    def update_job_status(self, task_id: str, updates: dict) -> None:
+        with self._lock:
+            job = self._jobs.setdefault(task_id, {})
+            job.update(updates)
+            job["_updated_at"] = time.time()
+
+    def delete_job(self, task_id: str) -> None:
+        with self._lock:
+            self._jobs.pop(task_id, None)
+
+    def cleanup_old_jobs(self, max_age_seconds: float = 86400.0) -> int:
+        """Drop stale jobs (ref: job_store.py:55-73)."""
+        cutoff = time.time() - max_age_seconds
+        removed = 0
+        with self._lock:
+            for task_id in list(self._jobs):
+                if self._jobs[task_id].get("_updated_at", 0) < cutoff:
+                    del self._jobs[task_id]
+                    removed += 1
+        return removed
+
+
+class FileJobStore(InMemoryJobStore):
+    """Persist job status as JSON files under a directory."""
+
+    def __init__(self, root: str):
+        super().__init__()
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, task_id: str) -> str:
+        safe = "".join(c for c in task_id if c.isalnum() or c in "-_")
+        return os.path.join(self.root, f"{safe}.json")
+
+    def set_job_status(self, task_id: str, status_data: dict) -> None:
+        super().set_job_status(task_id, status_data)
+        with open(self._path(task_id), "w", encoding="utf-8") as f:
+            json.dump(status_data, f)
+
+    def get_job_status(self, task_id: str) -> Optional[dict]:
+        data = super().get_job_status(task_id)
+        if data is not None:
+            return data
+        try:
+            with open(self._path(task_id), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def update_job_status(self, task_id: str, updates: dict) -> None:
+        data = self.get_job_status(task_id) or {}
+        data.update(updates)
+        self.set_job_status(task_id, data)
+
+    def delete_job(self, task_id: str) -> None:
+        super().delete_job(task_id)
+        try:
+            os.remove(self._path(task_id))
+        except FileNotFoundError:
+            pass

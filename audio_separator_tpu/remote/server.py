@@ -1,0 +1,349 @@
+"""Remote separation API server (stdlib HTTP, TPU-host backend).
+
+Serves the same HTTP surface as the reference's FastAPI deployments
+(ref: remote/deploy_modal.py:539-830, deploy_cloudrun.py:404-698):
+
+    POST /separate                multipart form: file + every separator param
+    GET  /status/{task_id}        job status JSON (progress, files)
+    GET  /download/{task_id}/{file_hash}
+    GET  /models  /models-json    model listing
+    GET  /health  /               service metadata
+
+Jobs run asynchronously on a background worker thread on this host's TPU;
+status lives in a pluggable job store and outputs in an output store. Files
+are addressed by SHA-256-prefix hashes of their names
+(ref: deploy_modal.generate_file_hash:49-53).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import logging
+import os
+import re
+import tempfile
+import threading
+import uuid
+from email.parser import BytesParser
+from email.policy import HTTP
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from queue import Queue
+from typing import Dict, Optional
+from urllib.parse import quote, unquote
+
+from .job_store import InMemoryJobStore
+from .output_store import LocalOutputStore
+
+logger = logging.getLogger(__name__)
+
+
+def generate_file_hash(filename: str) -> str:
+    """(ref: deploy_modal.py:49-53)."""
+    return hashlib.sha256(filename.encode("utf-8")).hexdigest()[:16]
+
+
+def _parse_multipart(content_type: str, body: bytes):
+    """Parse multipart/form-data into (fields, files{name: (filename, bytes)})."""
+    header = f"Content-Type: {content_type}\r\n\r\n".encode()
+    message = BytesParser(policy=HTTP).parsebytes(header + body)
+    fields: Dict[str, str] = {}
+    files: Dict[str, tuple] = {}
+    for part in message.iter_parts():
+        disposition = part.get("Content-Disposition", "")
+        name_match = re.search(r'name="([^"]*)"', disposition)
+        if not name_match:
+            continue
+        name = name_match.group(1)
+        filename_match = re.search(r'filename="([^"]*)"', disposition)
+        payload = part.get_payload(decode=True) or b""
+        if filename_match and filename_match.group(1):
+            files[name] = (filename_match.group(1), payload)
+        else:
+            fields[name] = payload.decode("utf-8", errors="replace")
+    return fields, files
+
+
+def _to_bool(value: str) -> bool:
+    return str(value).lower() in ("true", "1", "yes", "on")
+
+
+class SeparatorService:
+    """Job queue + worker running the Separator on this host."""
+
+    def __init__(self, work_dir: Optional[str] = None, model_file_dir: Optional[str] = None):
+        self.work_dir = work_dir or tempfile.mkdtemp(prefix="audio-separator-remote-")
+        self.model_file_dir = model_file_dir
+        self.jobs = InMemoryJobStore()
+        self.outputs = LocalOutputStore(os.path.join(self.work_dir, "outputs"))
+        self.uploads_dir = os.path.join(self.work_dir, "uploads")
+        os.makedirs(self.uploads_dir, exist_ok=True)
+        self._queue: Queue = Queue()
+        self._worker = threading.Thread(target=self._run_worker, daemon=True)
+        self._worker.start()
+
+    # ----------------------------------------------------------------- jobs
+
+    def submit(self, filename: str, file_bytes: bytes, fields: Dict[str, str]) -> str:
+        task_id = uuid.uuid4().hex
+        upload_path = os.path.join(self.uploads_dir, f"{task_id}_{os.path.basename(filename)}")
+        with open(upload_path, "wb") as f:
+            f.write(file_bytes)
+        self.jobs.set_job_status(task_id, {
+            "task_id": task_id, "status": "queued", "progress": 0,
+            "original_filename": filename, "models_used": [],
+            "total_models": 1, "current_model_index": 0, "files": [],
+        })
+        self._queue.put((task_id, upload_path, filename, fields))
+        return task_id
+
+    def _run_worker(self):
+        while True:
+            task_id, upload_path, filename, fields = self._queue.get()
+            try:
+                self._process(task_id, upload_path, filename, fields)
+            except Exception as exc:  # job-level isolation
+                logger.exception(f"job {task_id} failed")
+                self.jobs.update_job_status(task_id, {
+                    "status": "error", "error": str(exc), "progress": 0})
+            finally:
+                self._queue.task_done()
+
+    def _process(self, task_id, upload_path, filename, fields):
+        from ..separator import Separator
+
+        self.jobs.update_job_status(task_id, {"status": "processing", "progress": 5})
+
+        models = [None]
+        if fields.get("preset"):
+            models = ["__preset__"]
+        elif fields.get("models"):
+            models = json.loads(fields["models"])
+        elif fields.get("model"):
+            models = [fields["model"]]
+
+        custom_output_names = (json.loads(fields["custom_output_names"])
+                               if fields.get("custom_output_names") else None)
+
+        out_dir = os.path.join(self.work_dir, "job-" + task_id)
+        os.makedirs(out_dir, exist_ok=True)
+
+        separator = Separator(
+            model_file_dir=self.model_file_dir,
+            output_dir=out_dir,
+            output_format=fields.get("output_format", "flac"),
+            output_bitrate=fields.get("output_bitrate"),
+            normalization_threshold=float(fields.get("normalization_threshold", 0.9)),
+            amplification_threshold=float(fields.get("amplification_threshold", 0.0)),
+            output_single_stem=fields.get("output_single_stem"),
+            invert_using_spec=_to_bool(fields.get("invert_using_spec", "false")),
+            sample_rate=int(fields.get("sample_rate", 44100)),
+            use_autocast=_to_bool(fields.get("use_autocast", "false")),
+            ensemble_preset=fields.get("preset"),
+            mdx_params={
+                "hop_length": int(fields.get("mdx_hop_length", 1024)),
+                "segment_size": int(fields.get("mdx_segment_size", 256)),
+                "overlap": float(fields.get("mdx_overlap", 0.25)),
+                "batch_size": int(fields.get("mdx_batch_size", 1)),
+                "enable_denoise": _to_bool(fields.get("mdx_enable_denoise", "false")),
+            },
+            vr_params={
+                "batch_size": int(fields.get("vr_batch_size", 1)),
+                "window_size": int(fields.get("vr_window_size", 512)),
+                "aggression": int(fields.get("vr_aggression", 5)),
+                "enable_tta": _to_bool(fields.get("vr_enable_tta", "false")),
+                "enable_post_process": _to_bool(fields.get("vr_enable_post_process", "false")),
+                "post_process_threshold": float(fields.get("vr_post_process_threshold", 0.2)),
+                "high_end_process": _to_bool(fields.get("vr_high_end_process", "false")),
+            },
+            demucs_params={
+                "segment_size": fields.get("demucs_segment_size", "Default"),
+                "shifts": int(fields.get("demucs_shifts", 2)),
+                "overlap": float(fields.get("demucs_overlap", 0.25)),
+                "segments_enabled": _to_bool(fields.get("demucs_segments_enabled", "true")),
+            },
+            mdxc_params={
+                "segment_size": int(fields.get("mdxc_segment_size", 256)),
+                "override_model_segment_size": _to_bool(
+                    fields.get("mdxc_override_model_segment_size", "false")),
+                "overlap": int(fields.get("mdxc_overlap", 8)),
+                "batch_size": int(fields.get("mdxc_batch_size", 1)),
+                "pitch_shift": int(fields.get("mdxc_pitch_shift", 0)),
+            },
+        )
+
+        all_files = {}
+        models_used = []
+        total = len(models)
+        for index, model in enumerate(models):
+            self.jobs.update_job_status(task_id, {
+                "status": "processing",
+                "progress": 10 + int(80 * index / total),
+                "current_model_index": index,
+                "total_models": total,
+            })
+            if model == "__preset__" or model is None:
+                separator.load_model()
+            else:
+                separator.load_model(model)
+            models_used.append(model or "default")
+            outputs = separator.separate(upload_path, custom_output_names)
+            for path in outputs:
+                full = path if os.path.isabs(path) else os.path.join(out_dir, path)
+                stored = self.outputs.upload_file(task_id, full)
+                name = os.path.basename(stored)
+                all_files[generate_file_hash(name)] = name
+
+        self.jobs.update_job_status(task_id, {
+            "status": "completed", "progress": 100,
+            "models_used": models_used,
+            "files": [{"hash": h, "filename": fn} for h, fn in all_files.items()],
+        })
+
+    # ------------------------------------------------------------- retrieval
+
+    def get_status(self, task_id: str) -> Optional[dict]:
+        data = self.jobs.get_job_status(task_id)
+        if data:
+            data.pop("_updated_at", None)
+        return data
+
+    def get_file_by_hash(self, task_id: str, file_hash: str):
+        for name in self.outputs.list_files(task_id):
+            if generate_file_hash(name) == file_hash:
+                return self.outputs.download_file(task_id, name), name
+        raise FileNotFoundError(file_hash)
+
+
+def make_handler(service: SeparatorService):
+    from .. import __version__
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            logger.debug("%s - %s", self.address_string(), fmt % args)
+
+        # ------------------------------------------------------------ helpers
+
+        def _json(self, obj, status=200):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, status, detail):
+            self._json({"detail": detail}, status=status)
+
+        # ------------------------------------------------------------- routes
+
+        def do_GET(self):
+            path = unquote(self.path.split("?")[0])
+            if path in ("/", ""):
+                self._json({
+                    "service": "audio-separator-tpu",
+                    "version": __version__,
+                    "endpoints": ["/separate", "/status/{task_id}",
+                                  "/download/{task_id}/{file_hash}", "/models",
+                                  "/models-json", "/health"],
+                })
+            elif path == "/health":
+                self._json({"status": "healthy", "version": __version__})
+            elif path == "/models-json":
+                from ..separator import Separator
+
+                separator = Separator(info_only=True,
+                                      model_file_dir=service.model_file_dir)
+                self._json(separator.list_supported_model_files())
+            elif path == "/models":
+                from ..separator import Separator
+
+                separator = Separator(info_only=True,
+                                      model_file_dir=service.model_file_dir)
+                self._json(separator.get_simplified_model_list())
+            elif path.startswith("/status/"):
+                task_id = path[len("/status/"):]
+                data = service.get_status(task_id)
+                if data is None:
+                    self._error(404, "Job not found")
+                else:
+                    self._json(data)
+            elif path.startswith("/download/"):
+                parts = path[len("/download/"):].split("/")
+                if len(parts) != 2:
+                    self._error(404, "File not found")
+                    return
+                try:
+                    data, name = service.get_file_by_hash(parts[0], parts[1])
+                except FileNotFoundError:
+                    self._error(404, "File not found")
+                    return
+                ascii_name = "".join(c if ord(c) < 128 else "_" for c in name)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header(
+                    "Content-Disposition",
+                    f"attachment; filename=\"{ascii_name}\"; "
+                    f"filename*=UTF-8''{quote(name, safe='')}")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._error(404, "Not found")
+
+        def do_POST(self):
+            path = unquote(self.path.split("?")[0])
+            if path != "/separate":
+                self._error(404, "Not found")
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            content_type = self.headers.get("Content-Type", "")
+            if "multipart/form-data" not in content_type:
+                self._error(400, "multipart/form-data required")
+                return
+            try:
+                fields, files = _parse_multipart(content_type, body)
+            except Exception as exc:
+                self._error(400, f"invalid multipart body: {exc}")
+                return
+            upload = files.get("file")
+            if not upload or not upload[0]:
+                self._error(400, "No audio file provided")
+                return
+            filename, file_bytes = upload
+            task_id = service.submit(filename, file_bytes, fields)
+            self._json({"task_id": task_id, "status": "queued"})
+
+    return Handler
+
+
+def serve(host: str = "0.0.0.0", port: int = 8000,
+          model_file_dir: Optional[str] = None,
+          work_dir: Optional[str] = None) -> ThreadingHTTPServer:
+    service = SeparatorService(work_dir=work_dir, model_file_dir=model_file_dir)
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server.service = service  # type: ignore[attr-defined]
+    return server
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser(description="audio-separator remote API server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--model_file_dir", default=None)
+    parser.add_argument("--work_dir", default=None)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    server = serve(args.host, args.port, args.model_file_dir, args.work_dir)
+    logger.info(f"Serving on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
