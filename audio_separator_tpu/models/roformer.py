@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.attention import dot_product_attention
 from ..ops.stft import hann_window, istft, stft
 from .melbands import mel_band_membership
 
@@ -72,15 +73,19 @@ class RoformerConfig:
 
 @dataclass(frozen=True)
 class BandLayout:
-    """Static gather/scatter tables mapping packed spectrogram features
-    (row-major ``(f s)`` rows × (re, im)) to per-band padded lanes."""
+    """Static tables mapping packed spectrogram features (row-major ``(f s)``
+    rows × (re, im)) to per-band padded lanes.
+
+    Both BS and Mel bands cover *contiguous* bin ranges (BS by construction;
+    Mel because triangular filters have interval support), so gather/scatter
+    are static slices — no TPU scatter ops anywhere on the hot path."""
 
     n_bands: int
     max_in: int
     n_feat: int  # n_bins * channels * 2
-    in_idx: np.ndarray  # (n_bands, max_in) int32, padded lanes -> n_feat (dump)
-    in_mask: np.ndarray  # (n_bands, max_in) float32
-    in_dims: np.ndarray  # (n_bands,) int32 valid widths
+    starts: np.ndarray  # (n_bands,) feature-range start per band
+    in_dims: np.ndarray  # (n_bands,) int32 valid widths (feature count)
+    in_mask: np.ndarray  # (n_bands, max_in) float32 pad mask
     denom: np.ndarray  # (n_feat,) float32 per-feature overlap counts
 
 
@@ -111,17 +116,18 @@ def band_layout(cfg: RoformerConfig) -> BandLayout:
     n_feat = cfg.n_bins * s * 2
     dims = np.array([len(b) * s * 2 for b in band_bins], dtype=np.int32)
     max_in = int(dims.max())
-    in_idx = np.full((n_bands, max_in), n_feat, dtype=np.int32)
+    starts = np.zeros(n_bands, dtype=np.int32)
     in_mask = np.zeros((n_bands, max_in), dtype=np.float32)
     counts = np.zeros(n_feat, dtype=np.float32)
     for i, bins in enumerate(band_bins):
-        # feature index = ((f * s + ch) * 2 + c) — row-major (f s) rows, re/im.
-        feats = ((bins[:, None] * s + np.arange(s)[None, :]).reshape(-1, 1) * 2
-                 + np.arange(2)[None, :]).reshape(-1)
-        in_idx[i, : len(feats)] = feats
-        in_mask[i, : len(feats)] = 1.0
-        counts[feats] += 1.0
-    return BandLayout(n_bands, max_in, n_feat, in_idx, in_mask, dims,
+        bins = np.asarray(bins)
+        if len(bins) > 1 and not (np.diff(bins) == 1).all():
+            raise ValueError(f"band {i} bins are not contiguous")
+        # feature range = [b0*s*2, b1*s*2) — row-major (f s) rows × (re, im).
+        starts[i] = int(bins[0]) * s * 2
+        in_mask[i, : dims[i]] = 1.0
+        counts[starts[i] : starts[i] + dims[i]] += 1.0
+    return BandLayout(n_bands, max_in, n_feat, starts, dims, in_mask,
                       np.maximum(counts, 1e-8))
 
 
@@ -166,12 +172,7 @@ def _attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
         cos, sin = rope
         q = q * cos + _rotate_half(q) * sin
         k = k * cos + _rotate_half(k) * sin
-    scale = dh ** -0.5
-    sim = jnp.einsum("bhid,bhjd->bhij", q, k,
-                     preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhij,bhjd->bhid", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = dot_product_attention(q, k, v).astype(x.dtype)
     gates = jax.nn.sigmoid(xn @ p["gate_w"] + p["gate_b"])  # (b, n, h)
     out = out * gates.transpose(0, 2, 1)[..., None]
     out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * dh)
@@ -204,13 +205,23 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
 # Full model
 
 
+def _gather_bands(feats: jnp.ndarray, layout: BandLayout) -> jnp.ndarray:
+    """feats (B, T, n_feat) → (B, T, nb, max_in) via static slices (zero-padded)."""
+    parts = []
+    for i in range(layout.n_bands):
+        start, width = int(layout.starts[i]), int(layout.in_dims[i])
+        piece = feats[..., start : start + width]
+        if width < layout.max_in:
+            piece = jnp.pad(piece, [(0, 0)] * (piece.ndim - 1)
+                            + [(0, layout.max_in - width)])
+        parts.append(piece)
+    return jnp.stack(parts, axis=-2)
+
+
 def _band_split(p: Dict[str, jnp.ndarray], feats: jnp.ndarray,
                 layout: BandLayout, compute_dtype) -> jnp.ndarray:
-    """feats (B, T, n_feat) → (B, T, n_bands, dim) via masked padded einsum."""
-    padded = jnp.pad(feats, [(0, 0), (0, 0), (0, 1)])  # dump slot
-    xb = padded[..., layout.in_idx]  # (B, T, nb, max_in)
-    mask = jnp.asarray(layout.in_mask)
-    xb32 = xb.astype(jnp.float32) * mask
+    """feats (B, T, n_feat) → (B, T, n_bands, dim) via padded batched einsum."""
+    xb32 = _gather_bands(feats, layout).astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(xb32 * xb32, axis=-1, keepdims=True))
     scale = jnp.sqrt(layout.in_dims.astype(np.float32))[:, None]
     xn = xb32 / jnp.maximum(norm, 1e-12) * scale
@@ -302,13 +313,14 @@ def apply_roformer(
     banded = _mask_estimate(params["mask_est"], x, layout, cfg)
     banded = banded.astype(jnp.float32)
 
-    # Band → frequency-feature recombination (scatter-add, static indices).
+    # Band → frequency-feature recombination: static-slice adds (no scatter;
+    # BS bands are disjoint so this degenerates to a concat, Mel bands overlap
+    # and sum, averaged by band counts below).
     ns = cfg.num_stems
-    flat_idx = jnp.asarray(layout.in_idx.reshape(-1))
-    vals = banded.reshape(b, tf, ns, -1)
-    acc = jnp.zeros((b, tf, ns, layout.n_feat + 1), dtype=jnp.float32)
-    acc = acc.at[..., flat_idx].add(vals)
-    acc = acc[..., : layout.n_feat]
+    acc = jnp.zeros((b, tf, ns, layout.n_feat), dtype=jnp.float32)
+    for i in range(layout.n_bands):
+        start, width = int(layout.starts[i]), int(layout.in_dims[i])
+        acc = acc.at[..., start : start + width].add(banded[..., i, :width])
     if cfg.kind == "mel":
         acc = acc / jnp.asarray(layout.denom)
 

@@ -86,8 +86,7 @@ def test_band_layout_bs_covers_all_bins():
     # every feature covered exactly once
     counts = np.zeros(layout.n_feat)
     for i in range(layout.n_bands):
-        valid = layout.in_idx[i][layout.in_mask[i] > 0]
-        counts[valid] += 1
+        counts[layout.starts[i] : layout.starts[i] + layout.in_dims[i]] += 1
     np.testing.assert_array_equal(counts, np.ones(layout.n_feat))
 
 
