@@ -1,0 +1,152 @@
+"""Separator facade unit tests (mock-based tier, mirroring the reference's
+tests/unit strategy — no models, no network)."""
+
+import logging
+import os
+from unittest import mock
+
+import numpy as np
+import pytest
+
+from audio_separator_tpu.io import audio as audio_io
+from audio_separator_tpu.separator import Separator
+from audio_separator_tpu.separator.separator import DEFAULT_MODEL, STEM_NAME_MAP
+
+
+def make_separator(**kwargs):
+    kwargs.setdefault("info_only", True)
+    return Separator(**kwargs)
+
+
+def test_invalid_normalization_threshold():
+    with pytest.raises(ValueError):
+        make_separator(normalization_threshold=0)
+    with pytest.raises(ValueError):
+        make_separator(normalization_threshold=1.5)
+    with pytest.raises(ValueError):
+        make_separator(amplification_threshold=-0.1)
+
+
+def test_unknown_ensemble_algorithm_rejected():
+    with pytest.raises(ValueError, match="Invalid ensemble algorithm"):
+        make_separator(ensemble_algorithm="nope")
+
+
+def test_unknown_preset_rejected():
+    with pytest.raises(ValueError, match="Unknown ensemble preset"):
+        make_separator(ensemble_preset="not_a_preset")
+
+
+def test_preset_configures_models_and_algorithm():
+    sep = make_separator(ensemble_preset="karaoke")
+    assert sep._ensemble_preset_models and len(sep._ensemble_preset_models) >= 2
+    assert sep.ensemble_algorithm in Separator.VALID_ENSEMBLE_ALGORITHMS
+
+
+def test_load_model_list_enables_ensemble_mode():
+    sep = make_separator()
+    sep.load_model(["a.ckpt", "b.ckpt"])
+    assert sep.model_filenames == ["a.ckpt", "b.ckpt"]
+    assert sep.model_instance is None
+
+
+def test_separate_without_model_raises():
+    sep = make_separator()
+    with pytest.raises(ValueError, match="load a model"):
+        sep.separate("x.wav")
+
+
+def test_simplified_model_list_filter_and_sort():
+    sep = make_separator()
+    models = sep.get_simplified_model_list()
+    assert DEFAULT_MODEL in models
+    by_vocals = sep.get_simplified_model_list(filter_sort_by="vocals")
+    assert all("vocals" in v["SDR"] for v in by_vocals.values())
+    sdrs = [v["SDR"]["vocals"] for v in by_vocals.values() if v["SDR"]["vocals"] is not None]
+    assert sdrs == sorted(sdrs, reverse=True)
+    by_name = sep.get_simplified_model_list(filter_sort_by="name")
+    names = [v["Name"] for v in by_name.values()]
+    assert names == sorted(names)
+
+
+def test_model_registry_contains_all_arches():
+    sep = make_separator()
+    grouped = sep.list_supported_model_files()
+    for arch in ("VR", "MDX", "MDXC"):
+        assert grouped[arch], f"no models listed for {arch}"
+
+
+def test_get_model_hash(tmp_path):
+    sep = make_separator()
+    path = tmp_path / "model.bin"
+    path.write_bytes(b"x" * 1000)
+    import hashlib
+
+    assert sep.get_model_hash(str(path)) == hashlib.md5(b"x" * 1000).hexdigest()
+
+
+def test_directory_walk_and_error_isolation(tmp_path, monkeypatch):
+    """A failing file must not kill the batch (ref: separator.py:974-987)."""
+    sep = make_separator(output_dir=str(tmp_path))
+    sep.model_instance = mock.Mock()
+    sep.model_filename = "m.ckpt"
+
+    audio_dir = tmp_path / "batch"
+    audio_dir.mkdir()
+    pcm = np.zeros((2, 1000), np.float32)
+    audio_io.save_audio(str(audio_dir / "a.wav"), pcm, 44100)
+    audio_io.save_audio(str(audio_dir / "b.wav"), pcm, 44100)
+    (audio_dir / "notes.txt").write_text("ignored")
+
+    calls = []
+
+    def fake_separate_file(path, custom=None):
+        calls.append(os.path.basename(path))
+        if "a.wav" in path:
+            raise RuntimeError("boom")
+        return [f"{os.path.basename(path)}_(Vocals)_m.wav"]
+
+    monkeypatch.setattr(sep, "_separate_file", fake_separate_file)
+    outputs = sep.separate(str(audio_dir))
+    assert sorted(calls) == ["a.wav", "b.wav"]  # txt skipped
+    assert outputs == ["b.wav_(Vocals)_m.wav"]
+
+
+def test_chunked_processing_merges_stems(tmp_path, monkeypatch):
+    """Chunk → separate each → merge per stem (ref: separator.py:1047-1156)."""
+    sep = make_separator(output_dir=str(tmp_path / "out"), chunk_duration=1.0,
+                         output_format="WAV")
+    os.makedirs(sep.output_dir, exist_ok=True)
+    sep.model_instance = mock.Mock()
+    sep.model_instance.output_dir = None
+    sep.model_filename = "m.ckpt"
+
+    sr = 8000
+    t = np.arange(sr * 3) / sr
+    pcm = np.stack([np.sin(2 * np.pi * 220 * t), np.sin(2 * np.pi * 330 * t)]).astype(np.float32) * 0.5
+    src = tmp_path / "long.wav"
+    audio_io.save_audio(str(src), pcm, sr)
+
+    def fake_separate_file(path, custom=None):
+        # write two fake stems per chunk into the current output_dir
+        chunk_pcm, chunk_sr = audio_io.load_audio(path)
+        outs = []
+        for stem in ("Vocals", "Instrumental"):
+            name = f"{os.path.splitext(os.path.basename(path))[0]}_({stem})_m.wav"
+            audio_io.save_audio(os.path.join(sep.output_dir, name), chunk_pcm, chunk_sr)
+            outs.append(name)
+        return outs
+
+    monkeypatch.setattr(sep, "_separate_file", fake_separate_file)
+    outputs = sep._process_with_chunking(str(src))
+    assert len(outputs) == 2
+    for out in outputs:
+        assert os.path.exists(out)
+        merged, merged_sr = audio_io.load_audio(out)
+        assert abs(merged.shape[1] - pcm.shape[1]) < merged_sr * 0.1
+
+
+def test_stem_name_map_canonicalisation():
+    assert STEM_NAME_MAP["no_vocals"] == "Instrumental"
+    assert STEM_NAME_MAP["karaoke"] == "Instrumental"
+    assert STEM_NAME_MAP["drums"] == "Drums"

@@ -23,8 +23,81 @@ import sys
 OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "audio_separator_tpu", "data")
 
 
+# Well-known UVR-hosted models (normally resolved via the remote
+# download_checks.json at runtime; pinned here so headline models — including
+# the package default — resolve without network metadata).
+KNOWN_UVR_MODELS = {
+    "mdx": {
+        "MDX-Net Model: UVR-MDX-NET Inst HQ 3": "UVR-MDX-NET-Inst_HQ_3.onnx",
+        "MDX-Net Model: UVR-MDX-NET Inst HQ 4": "UVR-MDX-NET-Inst_HQ_4.onnx",
+        "MDX-Net Model: UVR_MDXNET_KARA_2": "UVR_MDXNET_KARA_2.onnx",
+        "MDX-Net Model: UVR-MDX-NET Voc FT": "UVR-MDX-NET-Voc_FT.onnx",
+        "MDX-Net Model: Kim Vocal 2": "Kim_Vocal_2.onnx",
+        "MDX-Net Model: UVR-MDX-NET Main": "UVR_MDXNET_Main.onnx",
+    },
+    "vr": {
+        "VR Arch Model: 1_HP-UVR": "1_HP-UVR.pth",
+        "VR Arch Model: 2_HP-UVR": "2_HP-UVR.pth",
+        "VR Arch Model: 5_HP-Karaoke-UVR": "5_HP-Karaoke-UVR.pth",
+        "VR Arch Model: UVR-DeEcho-DeReverb": "UVR-DeEcho-DeReverb.pth",
+        "VR Arch Model: UVR-DeNoise": "UVR-DeNoise.pth",
+    },
+    "mdxc": {
+        "Roformer Model: BS-Roformer-Viperx-1297": {
+            "model_bs_roformer_ep_317_sdr_12.9755.ckpt":
+                "model_bs_roformer_ep_317_sdr_12.9755.yaml"},
+        "Roformer Model: BS-Roformer-Viperx-1296": {
+            "model_bs_roformer_ep_368_sdr_12.9628.ckpt":
+                "model_bs_roformer_ep_368_sdr_12.9628.yaml"},
+        "Roformer Model: MelBand Roformer | Big Beta 5e by unwa": {
+            "melband_roformer_big_beta5e.ckpt": "big_beta5e.yaml"},
+        "Roformer Model: Mel-Roformer-Viperx-1143": {
+            "model_mel_band_roformer_ep_3005_sdr_11.4360.ckpt":
+                "model_mel_band_roformer_ep_3005_sdr_11.4360.yaml"},
+        "MDX23C Model: MDX23C-InstVoc HQ": {
+            "MDX23C-8KFFT-InstVoc_HQ.ckpt": "model_2_stem_full_band_8k.yaml"},
+    },
+    "demucs": {
+        "Demucs v4: htdemucs": {
+            "htdemucs.yaml": [
+                "https://dl.fbaipublicfiles.com/demucs/hybrid_transformer/955717e8-8726e21a.th",
+                "https://github.com/TRvlvr/model_repo/releases/download/all_public_uvr_models/htdemucs.yaml",
+            ]},
+        "Demucs v4: htdemucs_ft": {
+            "htdemucs_ft.yaml": [
+                "https://dl.fbaipublicfiles.com/demucs/hybrid_transformer/f7e0c4bc-ba3fe64a.th",
+                "https://dl.fbaipublicfiles.com/demucs/hybrid_transformer/d12395a8-e57c48e6.th",
+                "https://dl.fbaipublicfiles.com/demucs/hybrid_transformer/92cfc3b6-ef3bcb9c.th",
+                "https://dl.fbaipublicfiles.com/demucs/hybrid_transformer/04573f0d-f3cf25b2.th",
+                "https://github.com/TRvlvr/model_repo/releases/download/all_public_uvr_models/htdemucs_ft.yaml",
+            ]},
+        "Demucs v4: htdemucs_6s": {
+            "htdemucs_6s.yaml": [
+                "https://dl.fbaipublicfiles.com/demucs/hybrid_transformer/5c90dfd2-34c22ccb.th",
+                "https://github.com/TRvlvr/model_repo/releases/download/all_public_uvr_models/htdemucs_6s.yaml",
+            ]},
+    },
+}
+
+
 def restructure_models(models: dict) -> dict:
-    registry = {"vr": {}, "mdx": {}, "mdxc": {}}
+    registry = {"vr": {}, "mdx": {}, "mdxc": {}, "demucs": {}}
+    for name, filename in KNOWN_UVR_MODELS["vr"].items():
+        registry["vr"][name] = {"filename": filename, "download_files": [filename]}
+    for name, filename in KNOWN_UVR_MODELS["mdx"].items():
+        registry["mdx"][name] = {"filename": filename, "download_files": [filename]}
+    for name, files in KNOWN_UVR_MODELS["mdxc"].items():
+        model_files = list(files.keys())
+        registry["mdxc"][name] = {
+            "filename": model_files[0],
+            "download_files": model_files + list(files.values()),
+        }
+    for name, files in KNOWN_UVR_MODELS["demucs"].items():
+        yaml_file = next(iter(files))
+        registry["demucs"][name] = {
+            "filename": yaml_file,
+            "download_files": files[yaml_file],
+        }
     for name, filename in models.get("vr_download_list", {}).items():
         registry["vr"][name] = {"filename": filename, "download_files": [filename]}
     for name, filename in models.get("mdx_download_list", {}).items():
