@@ -36,50 +36,74 @@ def _einsum_attention(q, k, v, scale):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid, scale):
+    """One (batch·head) cell: whole-sequence attention in VMEM.
+
+    At this model's sequence lengths (≤ ~1300 frames) the full score tile
+    fits on-chip (896² fp32 ≈ 3.2 MB), so no online softmax is needed —
+    one QKᵀ, one masked softmax, one PV, all without touching HBM for the
+    scores. HBM traffic collapses to the q/k/v/o tensors themselves.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if n_valid < s.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, -1e30)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    o_ref[0] = jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _pallas_fused_attention(q, k, v, scale):
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = q.shape
+    pad = (-n) % 128
+    n_pad = n + pad
+    widths = [(0, 0), (0, 0), (0, pad), (0, 0)]
+    if pad:
+        q = jnp.pad(q, widths)
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+    qf = q.reshape(b * h, n_pad, d)
+    kf = k.reshape(b * h, n_pad, d)
+    vf = v.reshape(b * h, n_pad, d)
+
+    kernel = ft.partial(_fused_attention_kernel, n_valid=n, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(qf, kf, vf)
+    out = out.reshape(b, h, n_pad, d)
+    return out[:, :, :n] if pad else out
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           scale: Optional[float] = None) -> jnp.ndarray:
     """Self-attention over (B, H, N, D) tensors; returns (B, H, N, D)."""
     n = q.shape[2]
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if n < 256 or not _flash_available():
+    if n < 256 or n > 4096 or not _flash_available():
         return _einsum_attention(q, k, v, scale)
-
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        SegmentIds,
-        flash_attention,
-    )
-
-    pad = (-n) % 128
-    if pad:
-        widths = [(0, 0), (0, 0), (0, pad), (0, 0)]
-        q = jnp.pad(q, widths)
-        k = jnp.pad(k, widths)
-        v = jnp.pad(v, widths)
-        # padded tokens live in their own segment → masked from real tokens
-        seg = jnp.concatenate([
-            jnp.zeros((q.shape[0], n), jnp.int32),
-            jnp.ones((q.shape[0], pad), jnp.int32),
-        ], axis=1)
-        segment_ids = SegmentIds(q=seg, kv=seg)
-    else:
-        segment_ids = None
-
-    n_padded = q.shape[2]
-    block = 128
-    for candidate in (512, 256):
-        if n_padded % candidate == 0:
-            block = candidate
-            break
-    block_sizes = BlockSizes(
-        block_q=block, block_k_major=block, block_k=block, block_b=1,
-        block_q_major_dkv=block, block_k_major_dkv=block,
-        block_k_dkv=block, block_q_dkv=block,
-        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
-    )
-    out = flash_attention(q, k, v, segment_ids=segment_ids, causal=False,
-                          sm_scale=scale, block_sizes=block_sizes)
-    if pad:
-        out = out[:, :, :n]
-    return out.astype(q.dtype)
+    return _pallas_fused_attention(q, k, v, scale)
