@@ -28,3 +28,14 @@ import pytest  # noqa: E402
 def fixtures_dir():
     """Reference 20s FLAC fixtures (read-only)."""
     return "/root/reference/tests/inputs"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Bound memory across the suite: compiled executables for the many
+    parity-test shapes otherwise accumulate to an OOM abort."""
+    yield
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
