@@ -36,31 +36,34 @@ def _einsum_attention(q, k, v, scale):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid, scale):
-    """One (batch·head) cell: whole-sequence attention in VMEM.
+def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid, scale, group):
+    """One cell = `group` (batch·head) sequences: whole-sequence attention in
+    VMEM.
 
     At this model's sequence lengths (≤ ~1300 frames) the full score tile
     fits on-chip (896² fp32 ≈ 3.2 MB), so no online softmax is needed —
     one QKᵀ, one masked softmax, one PV, all without touching HBM for the
-    scores. HBM traffic collapses to the q/k/v/o tensors themselves.
+    scores. Several heads are processed per grid cell so per-cell pipeline
+    overhead amortises (a 1-head grid of ~1000 tiny cells is overhead-bound).
     """
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    if n_valid < s.shape[1]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, -1e30)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    o_ref[0] = jax.lax.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], q_ref.shape[1]), 1)
+    for g in range(group):
+        q = q_ref[g]
+        k = k_ref[g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if n_valid < s.shape[1]:
+            s = jnp.where(col < n_valid, s, -1e30)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o_ref[g] = jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[g], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
-def _pallas_fused_attention(q, k, v, scale):
+def _pallas_fused_attention(q, k, v, scale, group: int = 4):
     import functools as ft
 
     from jax.experimental import pallas as pl
@@ -74,25 +77,23 @@ def _pallas_fused_attention(q, k, v, scale):
         q = jnp.pad(q, widths)
         k = jnp.pad(k, widths)
         v = jnp.pad(v, widths)
-    qf = q.reshape(b * h, n_pad, d)
-    kf = k.reshape(b * h, n_pad, d)
-    vf = v.reshape(b * h, n_pad, d)
+    bh = b * h
+    while bh % group:
+        group //= 2
+    qf = q.reshape(bh, n_pad, d)
+    kf = k.reshape(bh, n_pad, d)
+    vf = v.reshape(bh, n_pad, d)
 
-    kernel = ft.partial(_fused_attention_kernel, n_valid=n, scale=scale)
+    kernel = ft.partial(_fused_attention_kernel, n_valid=n, scale=scale,
+                        group=group)
+    spec = pl.BlockSpec((group, n_pad, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
-        grid=(b * h,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        grid=(bh // group,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
     )(qf, kf, vf)
     out = out.reshape(b, h, n_pad, d)
     return out[:, :, :n] if pad else out
