@@ -63,7 +63,8 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid, scale, group
         ).astype(o_ref.dtype)
 
 
-def _pallas_fused_attention(q, k, v, scale, group: int = 4):
+def _pallas_fused_attention(q, k, v, scale, group: Optional[int] = None,
+                            interpret: bool = False):
     import functools as ft
 
     from jax.experimental import pallas as pl
@@ -78,8 +79,14 @@ def _pallas_fused_attention(q, k, v, scale, group: int = 4):
         k = jnp.pad(k, widths)
         v = jnp.pad(v, widths)
     bh = b * h
+    if group is None:
+        # Fit VMEM (~16 MB on v5e): double-buffered q/k/v/o blocks + two
+        # fp32 score-sized temporaries.
+        budget = 13 * 1024 * 1024 - 2 * 4 * n_pad * n_pad
+        per_seq = 4 * 2 * n_pad * d * 2  # 4 buffers, double-buffered, bf16
+        group = max(1, min(8, budget // max(per_seq, 1)))
     while bh % group:
-        group //= 2
+        group -= 1
     qf = q.reshape(bh, n_pad, d)
     kf = k.reshape(bh, n_pad, d)
     vf = v.reshape(bh, n_pad, d)
@@ -94,6 +101,7 @@ def _pallas_fused_attention(q, k, v, scale, group: int = 4):
         grid=(bh // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
+        interpret=interpret,
     )(qf, kf, vf)
     out = out.reshape(b, h, n_pad, d)
     return out[:, :, :n] if pad else out
