@@ -1,0 +1,80 @@
+"""Native codec I/O tests: formats, bit depths, resampling, probing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from audio_separator_tpu.io import audio as audio_io
+
+
+@pytest.fixture()
+def sine():
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    left = np.sin(2 * np.pi * 440 * t) * 0.5
+    right = np.sin(2 * np.pi * 554 * t) * 0.5
+    return np.stack([left, right]).astype(np.float32), sr
+
+
+def test_native_codec_available():
+    assert audio_io.native_codec_available()
+
+
+@pytest.mark.parametrize("fmt,bit_depth,tol", [
+    ("wav", 16, 1e-4), ("wav", 24, 1e-6), ("wav", 32, 1e-7),
+    ("flac", 16, 1e-4), ("flac", 24, 1e-6),
+])
+def test_lossless_roundtrip(sine, tmp_path, fmt, bit_depth, tol):
+    pcm, sr = sine
+    path = str(tmp_path / f"t.{fmt}")
+    audio_io.save_audio(path, pcm, sr, bit_depth=bit_depth)
+    back, back_sr = audio_io.load_audio(path)
+    assert back_sr == sr
+    assert back.shape == pcm.shape
+    np.testing.assert_allclose(back, pcm, atol=max(tol, 2 ** -(bit_depth - 2)))
+
+
+@pytest.mark.parametrize("fmt", ["mp3", "ogg", "opus"])
+def test_lossy_roundtrip(sine, tmp_path, fmt):
+    pcm, sr = sine
+    path = str(tmp_path / f"t.{fmt}")
+    try:
+        audio_io.save_audio(path, pcm, sr, bitrate_kbps=192)
+    except RuntimeError as exc:
+        pytest.skip(f"encoder unavailable: {exc}")
+    back, back_sr = audio_io.load_audio(path, sample_rate=sr)
+    n = min(back.shape[1], pcm.shape[1])
+    # lossy: compare correlation, not samples
+    corr = np.corrcoef(back[0, 2000 : n - 2000], pcm[0, 2000 : n - 2000])[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_probe_reports_bit_depth(sine, tmp_path):
+    pcm, sr = sine
+    path = str(tmp_path / "t24.flac")
+    audio_io.save_audio(path, pcm, sr, bit_depth=24)
+    info = audio_io.probe(path)
+    assert info.sample_rate == sr
+    assert info.channels == 2
+    assert info.bits_per_sample == 24
+
+
+def test_decode_with_resample_and_mixdown(sine, tmp_path):
+    pcm, sr = sine
+    path = str(tmp_path / "t.wav")
+    audio_io.save_audio(path, pcm, sr, bit_depth=24)
+    mono_16k, out_sr = audio_io.load_audio(path, sample_rate=16000, channels=1)
+    assert out_sr == 16000
+    assert mono_16k.shape[0] == 1
+    expected = int(pcm.shape[1] * 16000 / sr)
+    assert abs(mono_16k.shape[1] - expected) < 50
+
+
+def test_wav_fallback_matches_native(sine, tmp_path):
+    pcm, sr = sine
+    path = str(tmp_path / "t.wav")
+    audio_io._save_wav(str(path), np.ascontiguousarray(pcm.T), sr, 16)
+    native, _ = audio_io.load_audio(path)
+    fallback, _ = audio_io._load_wav(path, None, None)
+    np.testing.assert_allclose(native, fallback, atol=1e-4)
