@@ -41,18 +41,21 @@ def window_positions(total: int, chunk: int, step: int) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_fn", "chunk", "batch_size", "num_stems", "out_channels"),
+    static_argnames=("model_fn", "chunk", "batch_size", "num_stems",
+                     "out_channels", "quantized_transfer"),
 )
 def _demix_scan(
     model_fn: Callable,
     mix: jnp.ndarray,  # (C, T_buf) — padded so every window fits
     positions: jnp.ndarray,  # (N,) int32, N % batch_size == 0
     windows: jnp.ndarray,  # (N, chunk) float32 per-position weight rows
+    divider: jnp.ndarray,  # (T_buf,) float32 overlap normaliser
     chunk: int,
     batch_size: int,
     num_stems: int,
     out_channels: int,
-) -> jnp.ndarray:
+    quantized_transfer: bool,
+):
     c, t_buf = mix.shape
     n = positions.shape[0]
     nb = n // batch_size
@@ -78,7 +81,14 @@ def _demix_scan(
         acc0,
         (positions.reshape(nb, batch_size), windows.reshape(nb, batch_size, -1)),
     )
-    return acc
+    acc = acc / divider
+    if not quantized_transfer:
+        return acc, jnp.float32(1.0)
+    # Device-side int16 quantisation halves the device→host transfer; the
+    # scale restores amplitude on host (~90 dB SNR, far below model noise).
+    peak = jnp.maximum(jnp.max(jnp.abs(acc)), 1e-9)
+    scale = 32000.0 / peak
+    return jnp.round(acc * scale).astype(jnp.int16), scale
 
 
 def overlap_add_demix(
@@ -91,6 +101,7 @@ def overlap_add_demix(
     batch_size: int = 1,
     positions: np.ndarray | None = None,
     divider: np.ndarray | None = None,
+    quantized_transfer: bool = False,
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
 
@@ -98,6 +109,8 @@ def overlap_add_demix(
     ``window``: either ``(chunk,)`` shared weights or ``(N, chunk)``
     per-position rows. ``positions`` overrides the default clamped list.
     ``divider`` overrides the host-accumulated weight normaliser.
+    ``quantized_transfer`` fetches stems as scaled int16 (half the
+    device→host bytes; ~90 dB SNR, negligible next to model noise).
     """
     c, total = mix.shape
     if positions is None:
@@ -121,7 +134,10 @@ def overlap_add_demix(
         divider = np.zeros(t_buf, dtype=np.float32)
         for p, w in zip(positions, windows):
             divider[p : p + chunk] += w
-        divider = np.maximum(divider, 1e-10)[:total]
+        divider = np.maximum(divider, 1e-10)
+    elif len(divider) < t_buf:
+        divider = np.concatenate(
+            [divider, np.ones(t_buf - len(divider), np.float32)])
 
     n_pad = -(-n // batch_size) * batch_size
     positions_padded = np.zeros(n_pad, dtype=np.int32)
@@ -129,15 +145,18 @@ def overlap_add_demix(
     windows_padded = np.zeros((n_pad, chunk), dtype=np.float32)
     windows_padded[:n] = windows
 
-    acc = _demix_scan(
+    acc, scale = _demix_scan(
         model_fn,
         jnp.asarray(mix_buf),
         jnp.asarray(positions_padded),
         jnp.asarray(windows_padded),
+        jnp.asarray(np.maximum(divider, 1e-10), dtype=jnp.float32),
         chunk,
         batch_size,
         num_stems,
         c,
+        quantized_transfer,
     )
-    out = np.asarray(acc)[..., :total] / divider
-    return out
+    if quantized_transfer:
+        return np.asarray(acc)[..., :total].astype(np.float32) / float(scale)
+    return np.array(np.asarray(acc)[..., :total])
