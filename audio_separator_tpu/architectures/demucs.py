@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.demucs_load import load_demucs_model_or_bag
-from ..models.htdemucs import apply_htdemucs
+from ..models.htdemucs import apply_hdemucs, apply_htdemucs
 from ..ops.demix import overlap_add_demix
 from ..separator.common import BaseSeparator
 
@@ -143,9 +143,10 @@ class DemucsSeparator(BaseSeparator):
         length = mix.shape[-1]
         n_sources = len(cfg.sources)
         training_len = cfg.training_length
+        apply = apply_hdemucs if cfg.arch == "hdemucs" else apply_htdemucs
 
         def model_fn(chunks):  # (B, 2, training_len) -> (B, S, 2, training_len)
-            return apply_htdemucs(params, cfg, chunks, compute_dtype=self.compute_dtype)
+            return apply(params, cfg, chunks, compute_dtype=self.compute_dtype)
 
         if not self.segments_enabled:
             # direct eval on the full (padded) track
@@ -159,6 +160,40 @@ class DemucsSeparator(BaseSeparator):
         segment = training_len
         stride = int((1 - self.overlap) * segment)
         offsets = list(range(0, length, stride))
+
+        if not cfg.use_train_segment:
+            # v3 semantics: the model runs on each chunk at its *exact* length
+            # (no valid_length padding, apply.py:252-260). Full windows batch
+            # through the engine; the short tail gets one direct call.
+            tri_full = np.concatenate([np.arange(1, segment // 2 + 1),
+                                       np.arange(segment - segment // 2, 0, -1)]
+                                      ).astype(np.float32)
+            tri_full /= tri_full.max()
+            out = np.zeros((n_sources, 2, length), np.float32)
+            sum_w = np.zeros(length, np.float32)
+            full = [o for o in offsets if o + segment <= length]
+            if full:
+                pad_len = full[-1] + segment
+                res = overlap_add_demix(
+                    model_fn, mix[:, :pad_len], segment, stride, tri_full,
+                    num_stems=n_sources, batch_size=self.batch_size,
+                    positions=np.asarray(full, dtype=np.int32))
+                # engine divides by its own divider; rebuild weighted sums
+                div = np.zeros(pad_len, np.float32)
+                for o in full:
+                    div[o : o + segment] += tri_full
+                out[..., :pad_len] += res * np.maximum(div, 1e-10)
+                sum_w[:pad_len] += div
+            for o in offsets:
+                if o + segment <= length:
+                    continue
+                chunk = np.ascontiguousarray(mix[:, o:])
+                chunk_len = chunk.shape[-1]
+                est = np.asarray(apply(params, cfg, jnp.asarray(chunk[None]),
+                                       compute_dtype=self.compute_dtype))[0]
+                out[..., o:] += tri_full[:chunk_len] * est[..., :chunk_len]
+                sum_w[o:] += tri_full[:chunk_len]
+            return out / np.maximum(sum_w, 1e-10)
 
         # triangular transition weight (ref: apply.py:226-230)
         tri = np.concatenate([np.arange(1, segment // 2 + 1),

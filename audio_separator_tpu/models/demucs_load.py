@@ -75,12 +75,17 @@ def load_demucs_checkpoint(path: str) -> Tuple[str, HTDemucsConfig, Dict[str, An
             "diffq-quantized demucs checkpoints are not supported yet "
             f"(found in {path})")
 
-    if klass_name != "HTDemucs":
+    if klass_name not in ("HTDemucs", "HDemucs"):
         raise NotImplementedError(
-            f"Demucs model class {klass_name} not supported yet (only Demucs v4 "
-            f"HTDemucs); file: {path}")
+            f"Demucs model class {klass_name} not supported (HTDemucs v4 and "
+            f"HDemucs v3 only; legacy v1/v2/TasNet are unreachable through the "
+            f"reference's model list); file: {path}")
 
     cfg = config_from_kwargs(kwargs, args)
+    if klass_name == "HDemucs":
+        cfg = cfg.__class__(**{**cfg.__dict__, "arch": "hdemucs", "depth": int(kwargs.get("depth", 6)),
+                               "segment": float(kwargs.get("segment", 40.0)),
+                               "use_train_segment": False})
     tree: Dict[str, Any] = {}
     for key, value in state.items():
         if key.endswith("num_batches_tracked"):

@@ -27,6 +27,7 @@ from ..ops.stft import hann_window, istft, stft
 @dataclass(frozen=True)
 class HTDemucsConfig:
     sources: Tuple[str, ...]
+    arch: str = "htdemucs"  # "htdemucs" (v4) | "hdemucs" (v3)
     audio_channels: int = 2
     channels: int = 48
     growth: int = 2
@@ -51,6 +52,9 @@ class HTDemucsConfig:
     samplerate: int = 44100
     segment: float = 10.0
     use_train_segment: bool = True
+    # HDemucs (v3) specifics
+    wiener_iters: int = 0
+    wiener_residual: bool = False
 
     @property
     def hop_length(self) -> int:
@@ -224,22 +228,122 @@ def _model_ispec(z, length, cfg: HTDemucsConfig):
 # Layers
 
 
+def _unfold_frames(x, width, stride):
+    """demucs/utils.unfold: (..., T) → (..., F, width), F = ceil(T / stride)."""
+    length = x.shape[-1]
+    n_frames = -(-length // stride)
+    target = (n_frames - 1) * stride + width
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, target - length)])
+    idx = np.arange(width)[None, :] + stride * np.arange(n_frames)[:, None]
+    return x[..., idx]
+
+
+def _blstm(p, x):
+    """BLSTM with max_steps framing (ref: demucs.py:19-67). x: (B, C, T)."""
+    from .vr_nets import _lstm_cell_scan
+
+    b, c, t = x.shape
+    max_steps = 200
+    framed = t > max_steps
+    residual = x
+    if framed:
+        width, stride = max_steps, max_steps // 2
+        frames = _unfold_frames(x, width, stride)  # (B, C, F, width)
+        nframes = frames.shape[2]
+        x = frames.transpose(0, 2, 1, 3).reshape(-1, c, width)
+    seq = x.transpose(2, 0, 1)  # (T', B', C)
+    lp = p["lstm"]
+    for layer in range(2):
+        fwd = _lstm_cell_scan(seq, lp[f"weight_ih_l{layer}"], lp[f"weight_hh_l{layer}"],
+                              lp[f"bias_ih_l{layer}"], lp[f"bias_hh_l{layer}"])
+        bwd = _lstm_cell_scan(seq, lp[f"weight_ih_l{layer}_reverse"],
+                              lp[f"weight_hh_l{layer}_reverse"],
+                              lp[f"bias_ih_l{layer}_reverse"],
+                              lp[f"bias_hh_l{layer}_reverse"], reverse=True)
+        seq = jnp.concatenate([fwd, bwd], axis=-1)
+    seq = _linear(p["linear"], seq)
+    x = seq.transpose(1, 2, 0)  # (B', C, T')
+    if framed:
+        frames = x.reshape(b, nframes, c, width)
+        limit = stride // 2
+        pieces = []
+        for k in range(nframes):
+            if k == 0:
+                pieces.append(frames[:, k, :, :-limit])
+            elif k == nframes - 1:
+                pieces.append(frames[:, k, :, limit:])
+            else:
+                pieces.append(frames[:, k, :, limit:-limit])
+        x = jnp.concatenate(pieces, axis=-1)[..., :t]
+    return x + residual  # skip=True in HDemucs DConv
+
+
+def _local_state(p, x, heads=4, ndecay=4):
+    """LocalState decay-windowed attention (ref: demucs.py:171-232).
+    x: (B, C, T)."""
+    b, c, t = x.shape
+    idx = np.arange(t)
+    delta = jnp.asarray(idx[:, None] - idx[None, :], x.dtype)
+    queries = _conv1d(p["query"], x).reshape(b, heads, -1, t)
+    keys = _conv1d(p["key"], x).reshape(b, heads, -1, t)
+    dots = jnp.einsum("bhct,bhcs->bhts", keys, queries,
+                      preferred_element_type=jnp.float32)
+    dots = dots / (keys.shape[2] ** 0.5)
+    if ndecay:
+        decays = np.arange(1, ndecay + 1, dtype=np.float32)
+        decay_q = _conv1d(p["query_decay"], x).reshape(b, heads, ndecay, t)
+        decay_q = jax.nn.sigmoid(decay_q) / 2
+        decay_kernel = jnp.asarray(-decays[:, None, None], jnp.float32) \
+            * jnp.abs(delta)[None].astype(jnp.float32) / (ndecay ** 0.5)
+        dots = dots + jnp.einsum("fts,bhfs->bhts", decay_kernel, decay_q,
+                                 preferred_element_type=jnp.float32)
+    eye = jnp.eye(t, dtype=bool)
+    dots = jnp.where(eye[None, None], -100.0, dots)
+    weights = jax.nn.softmax(dots, axis=2).astype(x.dtype)
+    content = _conv1d(p["content"], x).reshape(b, heads, -1, t)
+    result = jnp.einsum("bhts,bhct->bhcs", weights, content,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    result = result.reshape(b, -1, t)
+    return x + _conv1d(p["proj"], result)
+
+
 def _dconv(p, x, cfg: HTDemucsConfig):
-    """DConv residual branch over (B, C, T) (ref: demucs.py:99-168)."""
+    """DConv residual branch over (B, C, T), with optional BLSTM/LocalState
+    inner modules for HDemucs deep layers (ref: demucs.py:99-168)."""
     for d in range(cfg.dconv_depth):
-        lp = p["layers"][str(d)]
-        dilation = 2 ** d
-        kernel = lp["0"]["weight"].shape[-1]
-        padding = dilation * (kernel // 2)
-        y = _conv1d(lp["0"], x, padding=padding, dilation=dilation)
-        y = _group_norm(lp["1"], y, 1)
-        y = _gelu(y)
-        y = _conv1d(lp["3"], y)
-        y = _group_norm(lp["4"], y, 1)
-        y = _glu(y, axis=1)
-        y = y * jnp.asarray(lp["6"]["scale"], y.dtype)[None, :, None]  # LayerScale
-        x = x + y
+        x = x + _dconv_layer(p["layers"][str(d)], x, 2 ** d)
     return x
+
+
+def _dconv_layer(lp, x, dilation):
+    """One DConv layer: conv→GN→GELU→[BLSTM]→[LocalState]→conv→GN→GLU→scale."""
+    indices = sorted(int(i) for i in lp)
+    y = x
+    stage = 0  # 0: before first GN, 1: after first GN (needs GELU), 2: tail
+    for i in indices:
+        child = lp[str(i)]
+        if "lstm" in child:
+            y = _blstm(child, y)
+        elif "content" in child:
+            y = _local_state(child, y)
+        elif "scale" in child:
+            y = y * jnp.asarray(child["scale"], y.dtype)[None, :, None]
+        elif child.get("weight") is not None and child["weight"].ndim == 3:
+            if stage == 0:
+                kernel = child["weight"].shape[-1]
+                y = _conv1d(child, y, padding=dilation * (kernel // 2),
+                            dilation=dilation)
+            else:
+                y = _conv1d(child, y)
+        else:  # GroupNorm(1)
+            y = _group_norm(child, y, 1)
+            if stage == 0:
+                y = _gelu(y)
+                stage = 1
+            else:
+                y = _glu(y, axis=1)
+                stage = 2
+    return y
 
 
 def _henc_layer(p, x, cfg: HTDemucsConfig, freq: bool, kernel: int, stride: int,
@@ -262,6 +366,8 @@ def _henc_layer(p, x, cfg: HTDemucsConfig, freq: bool, kernel: int, stride: int,
         if inject.ndim == 3 and y.ndim == 4:
             inject = inject[:, :, None]
         y = y + inject
+    if "norm1" in p:  # GroupNorm for layers past norm_starts (Identity has no params)
+        y = _group_norm(p["norm1"], y, cfg.norm_groups)
     y = _gelu(y)
     if "dconv" in p:
         if freq:
@@ -276,6 +382,8 @@ def _henc_layer(p, x, cfg: HTDemucsConfig, freq: bool, kernel: int, stride: int,
             z = _conv2d(p["rewrite"], y, padding=(ctx, 0))
         else:
             z = _conv1d(p["rewrite"], y, padding=ctx)
+        if "norm2" in p:
+            z = _group_norm(p["norm2"], z, cfg.norm_groups)
         z = _glu(z, axis=1)
     else:
         z = y
@@ -298,6 +406,8 @@ def _hdec_layer(p, x, skip, length, cfg: HTDemucsConfig, freq: bool, kernel: int
                 y = _conv2d(p["rewrite"], x, padding=(ctx, ctx))
             else:
                 y = _conv1d(p["rewrite"], x, padding=ctx)
+            if "norm1" in p:
+                y = _group_norm(p["norm1"], y, cfg.norm_groups)
             y = _glu(y, axis=1)
         else:
             y = x
@@ -312,6 +422,8 @@ def _hdec_layer(p, x, skip, length, cfg: HTDemucsConfig, freq: bool, kernel: int
         y = x
         assert skip is None
     z = _conv_tr(p["conv_tr"], y, stride, freq)
+    if "norm2" in p:
+        z = _group_norm(p["norm2"], z, cfg.norm_groups)
     if freq:
         if pad:
             z = z[..., pad:-pad, :]
@@ -579,3 +691,126 @@ def apply_htdemucs(params: Dict[str, Any], cfg: HTDemucsConfig, mix: jnp.ndarray
     if length_pre_pad is not None:
         result = result[..., :length_pre_pad]
     return result
+
+
+def apply_hdemucs(params: Dict[str, Any], cfg: HTDemucsConfig, mix: jnp.ndarray,
+                  compute_dtype=jnp.float32) -> jnp.ndarray:
+    """HDemucs (Demucs v3) forward: mix (B, C, T) → (B, S, C, T)
+    (ref: hdemucs.py HDemucs.forward:674-783).
+
+    Differences from HTDemucs: deeper (6) encoder with GroupNorm past
+    norm_starts and BLSTM/LocalState DConv branches, zero-initialised decoder
+    input (signal flows through U-net skips only), no cross-transformer, and
+    magnitude head + Wiener recombination when cac=False.
+    """
+    from .filtering import wiener as wiener_fn
+
+    length = mix.shape[-1]
+    z = _model_spec(mix, cfg)
+    b, c, fr, t = z.shape
+    if cfg.cac:
+        mag = jnp.stack([z.real, z.imag], axis=2).reshape(b, c * 2, fr, t)
+    else:
+        mag = jnp.abs(z)
+    x = mag.astype(compute_dtype)
+
+    mean = x.mean(axis=(1, 2, 3), keepdims=True)
+    std = jnp.std(x.astype(jnp.float32), axis=(1, 2, 3), keepdims=True,
+                  ddof=1).astype(compute_dtype)
+    x = (x - mean) / (1e-5 + std)
+
+    xt = mix.astype(compute_dtype)
+    meant = xt.mean(axis=(1, 2), keepdims=True)
+    stdt = jnp.std(xt.astype(jnp.float32), axis=(1, 2), keepdims=True,
+                   ddof=1).astype(compute_dtype)
+    xt = (xt - meant) / (1e-5 + stdt)
+
+    geo = _layer_geometry(cfg)
+    n_tenc = sum(1 for g in geo if g["freq"])
+
+    saved, saved_t, lengths, lengths_t = [], [], [], []
+    for idx, g in enumerate(geo):
+        lengths.append(x.shape[-1])
+        inject = None
+        if idx < n_tenc:
+            lengths_t.append(xt.shape[-1])
+            tp_ = params["tencoder"][str(idx)]
+            xt_out = _henc_layer(tp_, xt, cfg, freq=False, kernel=cfg.kernel_size,
+                                 stride=cfg.stride, pad=cfg.kernel_size // 4,
+                                 empty=g["last_freq"])
+            if not g["last_freq"]:
+                xt = xt_out
+                saved_t.append(xt)
+            else:
+                inject = xt_out
+        x = _henc_layer(params["encoder"][str(idx)], x, cfg, freq=g["freq"],
+                        kernel=g["kernel"], stride=g["stride"], pad=g["pad"],
+                        inject=inject)
+        if idx == 0 and "freq_emb" in params:
+            emb = (jnp.asarray(params["freq_emb"]["embedding"]["weight"], x.dtype)
+                   * cfg.emb_scale)
+            emb = emb[: x.shape[-2]].T[None, :, :, None]
+            x = x + cfg.freq_emb * emb
+        saved.append(x)
+
+    # v3: decoder starts from zeros; only skip connections carry signal.
+    x = jnp.zeros_like(x)
+    xt = None
+
+    s_sources = len(cfg.sources)
+    for idx in range(cfg.depth):
+        g = geo[cfg.depth - 1 - idx]
+        dp = params["decoder"][str(idx)]
+        skip = saved.pop(-1)
+        x, pre = _hdec_layer(dp, x, skip, lengths.pop(-1), cfg, freq=g["freq"],
+                             kernel=g["kernel"], stride=g["stride"], pad=g["pad"],
+                             last=(cfg.depth - 1 - idx) == 0, chin=x.shape[1])
+        offset = cfg.depth - n_tenc
+        if idx >= offset:
+            tdp = params["tdecoder"][str(idx - offset)]
+            length_t = lengths_t.pop(-1)
+            if g["last_freq"]:
+                pre2 = pre[:, :, 0]
+                xt, _ = _hdec_layer(tdp, pre2, None, length_t, cfg, freq=False,
+                                    kernel=cfg.kernel_size, stride=cfg.stride,
+                                    pad=cfg.kernel_size // 4,
+                                    last=(cfg.depth - 1 - idx) == 0, empty=True)
+            else:
+                skip_t = saved_t.pop(-1)
+                xt, _ = _hdec_layer(tdp, xt, skip_t, length_t, cfg, freq=False,
+                                    kernel=cfg.kernel_size, stride=cfg.stride,
+                                    pad=cfg.kernel_size // 4,
+                                    last=(cfg.depth - 1 - idx) == 0)
+
+    x = x.reshape(b, s_sources, -1, fr, t)
+    x = x * std[:, None] + mean[:, None]
+
+    if cfg.cac:
+        bb, ss, cc2, frr, tt = x.shape
+        out = x.reshape(bb, ss, cc2 // 2, 2, frr, tt)
+        zout = jax.lax.complex(out[:, :, :, 0].astype(jnp.float32),
+                               out[:, :, :, 1].astype(jnp.float32))
+    elif cfg.wiener_iters < 0:
+        # plain ratio mask (ref: hdemucs._mask niters < 0 branch)
+        m = jnp.abs(x).astype(jnp.float32)
+        zout = (z[:, None] / (1e-8 + jnp.abs(z[:, None]))) * m
+    else:
+        # magnitude head → multichannel Wiener combination with the mixture
+        # phase (ref: hdemucs._mask:631-647, wiener_iters EM refinements)
+        mag_out = jnp.abs(x).astype(jnp.float32)
+        # (B, S, C, F, T) → per batch: (T, F, C, S)
+        def one(mags, mix_z):
+            tsfc = mags.transpose(3, 2, 1, 0)  # (T, F, C, S)
+            mix_tfc = mix_z.transpose(2, 1, 0)  # (T, F, C)
+            y = wiener_fn(tsfc, mix_tfc, iterations=max(cfg.wiener_iters, 0),
+                          residual=cfg.wiener_residual)
+            if cfg.wiener_residual:
+                y = y[..., :-1]
+            return y.transpose(3, 2, 1, 0)  # (S, C, F, T)
+
+        zout = jax.vmap(one)(mag_out, z)
+
+    xf = _model_ispec(zout, length, cfg)
+    xt = xt.reshape(b, s_sources, -1, length)
+    xt = xt * stdt[:, None] + meant[:, None]
+    return xt.astype(jnp.float32) + xf

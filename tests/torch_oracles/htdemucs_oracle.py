@@ -418,3 +418,274 @@ class HTDemucsOracle(nn.Module):
         xt = xt.view(B, S, -1, length)
         xt = xt * stdt[:, None] + meant[:, None]
         return xt + xf
+
+
+# ---------------------------------------------------------------- HDemucs v3
+
+
+class BLSTM(nn.Module):
+    def __init__(self, dim, layers=2, max_steps=200, skip=True):
+        super().__init__()
+        self.max_steps = max_steps
+        self.lstm = nn.LSTM(bidirectional=True, num_layers=layers,
+                            hidden_size=dim, input_size=dim)
+        self.linear = nn.Linear(2 * dim, dim)
+        self.skip = skip
+
+    def forward(self, x):
+        B, C, T = x.shape
+        y = x
+        framed = False
+        if self.max_steps is not None and T > self.max_steps:
+            width = self.max_steps
+            stride = width // 2
+            n_frames = math.ceil(T / stride)
+            tgt = (n_frames - 1) * stride + width
+            xp = F.pad(x, (0, tgt - T))
+            frames = xp.as_strided([B, C, n_frames, width],
+                                   [xp.stride()[0], xp.stride()[1], stride, 1])
+            nframes = frames.shape[2]
+            framed = True
+            x = frames.permute(0, 2, 1, 3).reshape(-1, C, width)
+        x = x.permute(2, 0, 1)
+        x = self.lstm(x)[0]
+        x = self.linear(x)
+        x = x.permute(1, 2, 0)
+        if framed:
+            out = []
+            frames = x.reshape(B, -1, C, width)
+            limit = stride // 2
+            for k in range(nframes):
+                if k == 0:
+                    out.append(frames[:, k, :, :-limit])
+                elif k == nframes - 1:
+                    out.append(frames[:, k, :, limit:])
+                else:
+                    out.append(frames[:, k, :, limit:-limit])
+            x = torch.cat(out, -1)[..., :T]
+        if self.skip:
+            x = x + y
+        return x
+
+
+class LocalState(nn.Module):
+    def __init__(self, channels, heads=4, ndecay=4):
+        super().__init__()
+        self.heads, self.ndecay = heads, ndecay
+        self.content = nn.Conv1d(channels, channels, 1)
+        self.query = nn.Conv1d(channels, channels, 1)
+        self.key = nn.Conv1d(channels, channels, 1)
+        self.query_decay = nn.Conv1d(channels, heads * ndecay, 1)
+        self.proj = nn.Conv1d(channels, channels, 1)
+
+    def forward(self, x):
+        B, C, T = x.shape
+        heads = self.heads
+        indexes = torch.arange(T, dtype=x.dtype)
+        delta = indexes[:, None] - indexes[None, :]
+        queries = self.query(x).view(B, heads, -1, T)
+        keys = self.key(x).view(B, heads, -1, T)
+        dots = torch.einsum("bhct,bhcs->bhts", keys, queries)
+        dots /= keys.shape[2] ** 0.5
+        decays = torch.arange(1, self.ndecay + 1, dtype=x.dtype)
+        decay_q = torch.sigmoid(self.query_decay(x).view(B, heads, -1, T)) / 2
+        decay_kernel = -decays.view(-1, 1, 1) * delta.abs() / self.ndecay ** 0.5
+        dots += torch.einsum("fts,bhfs->bhts", decay_kernel, decay_q)
+        dots.masked_fill_(torch.eye(T, dtype=torch.bool), -100)
+        weights = torch.softmax(dots, dim=2)
+        content = self.content(x).view(B, heads, -1, T)
+        result = torch.einsum("bhts,bhct->bhcs", weights, content).reshape(B, -1, T)
+        return x + self.proj(result)
+
+
+class DConvV3(nn.Module):
+    def __init__(self, channels, compress=4, depth=2, init=1e-4, lstm=False, attn=False):
+        super().__init__()
+        hidden = int(channels / compress)
+        self.layers = nn.ModuleList()
+        for d in range(depth):
+            dilation = 2 ** d
+            mods = [
+                nn.Conv1d(channels, hidden, 3, dilation=dilation, padding=dilation),
+                nn.GroupNorm(1, hidden), nn.GELU(),
+                nn.Conv1d(hidden, 2 * channels, 1), nn.GroupNorm(1, 2 * channels),
+                nn.GLU(1), LayerScale(channels, init),
+            ]
+            if attn:
+                mods.insert(3, LocalState(hidden, heads=4, ndecay=4))
+            if lstm:
+                mods.insert(3, BLSTM(hidden, layers=2, max_steps=200, skip=True))
+            self.layers.append(nn.Sequential(*mods))
+
+    def forward(self, x):
+        for layer in self.layers:
+            x = x + layer(x)
+        return x
+
+
+class HEncLayerV3(HEncLayer):
+    """HEncLayer with GroupNorm support and v3 DConv."""
+
+    def __init__(self, chin, chout, kernel_size=8, stride=4, empty=False, freq=True,
+                 norm=False, norm_groups=4, dconv_kw=None, pad=True, context=0):
+        super().__init__(chin, chout, kernel_size, stride, empty=empty, freq=freq,
+                         dconv=False, context=context, pad=pad)
+        if empty:
+            return
+        if norm:
+            self.norm1 = nn.GroupNorm(norm_groups, chout)
+            self.norm2 = nn.GroupNorm(norm_groups, 2 * chout)
+        self.dconv = DConvV3(chout, **(dconv_kw or {}))
+
+
+class HDecLayerV3(HDecLayer):
+    def __init__(self, chin, chout, last=False, kernel_size=8, stride=4, empty=False,
+                 freq=True, norm=False, norm_groups=4, context=1, pad=True):
+        super().__init__(chin, chout, last=last, kernel_size=kernel_size,
+                         stride=stride, empty=empty, freq=freq, dconv=False,
+                         context=context, pad=pad)
+        if norm:
+            self.norm2 = nn.GroupNorm(norm_groups, chout)
+        if empty:
+            return
+        if norm:
+            self.norm1 = nn.GroupNorm(norm_groups, 2 * chin)
+
+
+class HDemucsOracle(nn.Module):
+    """v3 hybrid (cac=True variant): zero-initialised decoder, GroupNorm past
+    norm_starts, LSTM/attention DConv past dconv_lstm/attn, no transformer."""
+
+    def __init__(self, sources, channels=8, nfft=512, depth=4, norm_starts=2,
+                 dconv_lstm=2, dconv_attn=2, samplerate=44100, segment=0.5):
+        super().__init__()
+        self.sources, self.channels, self.nfft, self.depth = sources, channels, nfft, depth
+        self.hop_length = nfft // 4
+        self.samplerate, self.segment = samplerate, segment
+        self.audio_channels = 2
+        kernel_size, stride, growth = 8, 4, 2
+
+        self.encoder = nn.ModuleList()
+        self.decoder = nn.ModuleList()
+        self.tencoder = nn.ModuleList()
+        self.tdecoder = nn.ModuleList()
+        chin, chin_z = 2, 4
+        chout = chout_z = channels
+        freqs = nfft // 2
+        for index in range(depth):
+            norm = index >= norm_starts
+            lstm = index >= dconv_lstm
+            attn = index >= dconv_attn
+            dconv_kw = {"compress": 4, "depth": 2, "init": 1e-4,
+                        "lstm": lstm, "attn": attn}
+            freq = freqs > 1
+            ker, stri, pad = kernel_size, stride, True
+            last_freq = False
+            if freq and freqs <= kernel_size:
+                ker, pad, last_freq = freqs, False, True
+            if last_freq:
+                chout_z = max(chout, chout_z)
+                chout = chout_z
+            enc = HEncLayerV3(chin_z, chout_z, ker, stri, freq=freq, pad=pad,
+                              norm=norm, dconv_kw=dconv_kw)
+            if freq:
+                tenc = HEncLayerV3(chin, chout, kernel_size, stride, freq=False,
+                                   pad=True, empty=last_freq, norm=norm,
+                                   dconv_kw=dconv_kw)
+                self.tencoder.append(tenc)
+            self.encoder.append(enc)
+            if index == 0:
+                chin = 2 * len(sources)
+                chin_z = chin * 2
+            dec = HDecLayerV3(chout_z, chin_z, last=index == 0, kernel_size=ker,
+                              stride=stri, freq=freq, pad=pad, norm=norm)
+            if freq:
+                tdec = HDecLayerV3(chout, chin, last=index == 0,
+                                   kernel_size=kernel_size, stride=stride,
+                                   freq=False, pad=True, empty=last_freq,
+                                   norm=norm)
+                self.tdecoder.insert(0, tdec)
+            self.decoder.insert(0, dec)
+            chin, chin_z = chout, chout_z
+            chout, chout_z = int(growth * chout), int(growth * chout_z)
+            if freq:
+                freqs = 1 if freqs <= kernel_size else freqs // stride
+            if index == 0:
+                self.freq_emb = ScaledEmbedding(freqs, chin_z, smooth=True, scale=10)
+                self.freq_emb_scale = 0.2
+
+    def _spec(self, x):
+        hl = self.hop_length
+        le = int(math.ceil(x.shape[-1] / hl))
+        pad = hl // 2 * 3
+        x = pad1d(x, (pad, pad + le * hl - x.shape[-1]), mode="reflect")
+        z = spectro(x, self.nfft, hl)[..., :-1, :]
+        return z[..., 2 : 2 + le]
+
+    def _ispec(self, z, length):
+        hl = self.hop_length
+        z = F.pad(z, (0, 0, 0, 1))
+        z = F.pad(z, (2, 2))
+        pad = hl // 2 * 3
+        le = hl * int(math.ceil(length / hl)) + 2 * pad
+        x = ispectro(z, hl, length=le)
+        return x[..., pad : pad + length]
+
+    def forward(self, mix):
+        length = mix.shape[-1]
+        z = self._spec(mix)
+        B, C, Fq, T = z.shape
+        mag = torch.view_as_real(z).permute(0, 1, 4, 2, 3).reshape(B, C * 2, Fq, T)
+        x = mag
+        mean = x.mean(dim=(1, 2, 3), keepdim=True)
+        std = x.std(dim=(1, 2, 3), keepdim=True)
+        x = (x - mean) / (1e-5 + std)
+        xt = mix
+        meant = xt.mean(dim=(1, 2), keepdim=True)
+        stdt = xt.std(dim=(1, 2), keepdim=True)
+        xt = (xt - meant) / (1e-5 + stdt)
+
+        saved, saved_t, lengths, lengths_t = [], [], [], []
+        for idx, encode in enumerate(self.encoder):
+            lengths.append(x.shape[-1])
+            inject = None
+            if idx < len(self.tencoder):
+                lengths_t.append(xt.shape[-1])
+                tenc = self.tencoder[idx]
+                xt_out = tenc(xt)
+                if not tenc.empty:
+                    xt = xt_out
+                    saved_t.append(xt)
+                else:
+                    inject = xt_out
+            x = encode(x, inject)
+            if idx == 0:
+                frs = torch.arange(x.shape[-2])
+                emb = self.freq_emb(frs).t()[None, :, :, None].expand_as(x)
+                x = x + self.freq_emb_scale * emb
+            saved.append(x)
+
+        x = torch.zeros_like(x)
+        for idx, decode in enumerate(self.decoder):
+            skip = saved.pop(-1)
+            x, pre = decode(x, skip, lengths.pop(-1))
+            offset = self.depth - len(self.tdecoder)
+            if idx >= offset:
+                tdec = self.tdecoder[idx - offset]
+                length_t = lengths_t.pop(-1)
+                if tdec.empty:
+                    pre = pre[:, :, 0]
+                    xt, _ = tdec(pre, None, length_t)
+                else:
+                    skip_t = saved_t.pop(-1)
+                    xt, _ = tdec(xt, skip_t, length_t)
+
+        S = len(self.sources)
+        x = x.view(B, S, -1, Fq, T)
+        x = x * std[:, None] + mean[:, None]
+        out = x.view(B, S, -1, 2, Fq, T).permute(0, 1, 2, 4, 5, 3)
+        zout = torch.view_as_complex(out.contiguous())
+        xf = self._ispec(zout, length)
+        xt = xt.view(B, S, -1, length)
+        xt = xt * stdt[:, None] + meant[:, None]
+        return xt + xf
