@@ -145,15 +145,15 @@ class DemucsSeparator(BaseSeparator):
         training_len = cfg.training_length
         apply = apply_hdemucs if cfg.arch == "hdemucs" else apply_htdemucs
 
-        def model_fn(chunks):  # (B, 2, training_len) -> (B, S, 2, training_len)
-            return apply(params, cfg, chunks, compute_dtype=self.compute_dtype)
+        def model_fn(p, chunks):  # (B, 2, training_len) -> (B, S, 2, training_len)
+            return apply(p, cfg, chunks, compute_dtype=self.compute_dtype)
 
         if not self.segments_enabled:
             # direct eval on the full (padded) track
             target = max(length, training_len) if cfg.use_train_segment else length
             delta = target - length
             padded = np.pad(mix, ((0, 0), (delta // 2, delta - delta // 2)))
-            out = np.asarray(model_fn(jnp.asarray(padded[None])))[0]
+            out = np.asarray(model_fn(params, jnp.asarray(padded[None])))[0]
             start = (out.shape[-1] - length) // 2
             return out[..., start : start + length]
 
@@ -177,7 +177,8 @@ class DemucsSeparator(BaseSeparator):
                 res = overlap_add_demix(
                     model_fn, mix[:, :pad_len], segment, stride, tri_full,
                     num_stems=n_sources, batch_size=self.batch_size,
-                    positions=np.asarray(full, dtype=np.int32))
+                    positions=np.asarray(full, dtype=np.int32),
+                    model_params=params)
                 # engine divides by its own divider; rebuild weighted sums
                 div = np.zeros(pad_len, np.float32)
                 for o in full:
@@ -221,5 +222,6 @@ class DemucsSeparator(BaseSeparator):
             num_stems=n_sources, batch_size=self.batch_size,
             positions=np.asarray(positions, dtype=np.int32),
             divider=divider,
+            model_params=params,
         )
         return out[..., pad_lead : pad_lead + length]

@@ -61,23 +61,23 @@ class MDXSeparator(BaseSeparator):
     def _window(self):
         return hann_window(self.n_fft)
 
-    def _run_net(self, spek):
+    def _run_net(self, params, spek):
         """(B, 4, dim_f, T) packed spectrum → model output, with optional
         denoise double-pass (ref: mdx_separator.py:427-441)."""
         if self.enable_denoise:
-            neg = self._onnx_fn(self._onnx_params, -spek)[0]
-            pos = self._onnx_fn(self._onnx_params, spek)[0]
+            neg = self._onnx_fn(params, -spek)[0]
+            pos = self._onnx_fn(params, spek)[0]
             return pos * 0.5 - neg * 0.5
-        return self._onnx_fn(self._onnx_params, spek)[0]
+        return self._onnx_fn(params, spek)[0]
 
     def _model_fn(self, is_match_mix: bool):
         n_fft, hop, dim_f = self.n_fft, self.hop_length, self.dim_f
         win = self._window()
 
-        def fn(chunks):  # (B, 2, chunk) → (B, 1, 2, chunk)
+        def fn(params, chunks):  # (B, 2, chunk) → (B, 1, 2, chunk)
             spek = stft_real_packed(chunks, n_fft, hop, win, dim_f)
             spek = spek.at[:, :, :3, :].set(0.0)  # low-bin suppression
-            spec_pred = spek if is_match_mix else self._run_net(spek)
+            spec_pred = spek if is_match_mix else self._run_net(params, spek)
             out = istft_real_packed(spec_pred, n_fft, hop, win)
             out = out[..., : chunks.shape[-1]]
             if out.shape[-1] < chunks.shape[-1]:
@@ -127,6 +127,7 @@ class MDXSeparator(BaseSeparator):
             self._model_fn(is_match_mix), mixture, chunk_size, step, windows,
             num_stems=1, batch_size=max(1, int(self.batch_size)),
             positions=positions, divider=divider,
+            model_params=self._onnx_params,
         )
         tar_waves = out[0][:, self.trim : -self.trim][:, : mix.shape[-1]]
         return tar_waves

@@ -143,11 +143,11 @@ class MDXCSeparator(BaseSeparator):
         return int(inference.get("dim_t", self.segment_size))
 
     def _model_fn(self):
-        cfg, params, dtype = self.model_cfg, self.params, self.compute_dtype
+        cfg, dtype = self.model_cfg, self.compute_dtype
         if self.is_roformer:
             stereo = cfg.stereo
 
-            def fn(chunks):  # (B, C, chunk) -> (B, S, C, chunk)
+            def fn(params, chunks):  # (B, C, chunk) -> (B, S, C, chunk)
                 x = chunks if stereo else chunks.reshape(-1, 1, chunks.shape[-1])
                 out = apply_roformer(params, cfg, x, compute_dtype=dtype)
                 if not stereo:
@@ -161,7 +161,7 @@ class MDXCSeparator(BaseSeparator):
             return fn
         from ..models.tfc_tdf import apply_tfc_tdf
 
-        def fn(chunks):
+        def fn(params, chunks):
             return apply_tfc_tdf(params, cfg, chunks, compute_dtype=dtype)
 
         return fn
@@ -191,6 +191,7 @@ class MDXCSeparator(BaseSeparator):
             out = overlap_add_demix(
                 self._model_fn(), mix, chunk, step, window,
                 num_stems=num_stems, batch_size=max(1, int(self.batch_size)),
+                model_params=self.params,
             )
         else:
             hop_length = int(audio_section.get("hop_length", 1024))
@@ -236,6 +237,7 @@ class MDXCSeparator(BaseSeparator):
             self._model_fn(), padded, chunk, hop_size, window,
             num_stems=num_stems, batch_size=max(1, int(self.batch_size)),
             positions=positions,
+            model_params=self.params,
         )
         # Reference divides by self.overlap; with uniform windows the divider
         # equals the per-sample overlap count, matching in the steady state and

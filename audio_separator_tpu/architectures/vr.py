@@ -82,6 +82,7 @@ class VRSeparator(BaseSeparator):
         self._params = None
         self._arch_size = None
         self._offset = None
+        self._jit_predict = None
 
     # ------------------------------------------------------------------ model
 
@@ -101,16 +102,16 @@ class VRSeparator(BaseSeparator):
         self.logger.debug(f"VR model loaded: arch_size={arch_size}, v51={self.is_vr_51_model}")
 
     def _predict_batch(self, batch: np.ndarray) -> np.ndarray:
-        n_fft_bins = self.mp["bins"] * 2
-        if self.is_vr_51_model:
-            nout, nout_lstm = self.model_capacity
-            fn = functools.partial(predict_mask_v51, n_fft_bins=n_fft_bins,
-                                   offset=self._offset)
-        else:
-            fn = functools.partial(predict_mask_v5, n_fft_bins=n_fft_bins,
-                                   arch=self._arch_size, offset=self._offset)
-        jfn = jax.jit(fn)
-        return np.asarray(jfn(self._params, jnp.asarray(batch)))
+        if self._jit_predict is None:
+            n_fft_bins = self.mp["bins"] * 2
+            if self.is_vr_51_model:
+                fn = functools.partial(predict_mask_v51, n_fft_bins=n_fft_bins,
+                                       offset=self._offset)
+            else:
+                fn = functools.partial(predict_mask_v5, n_fft_bins=n_fft_bins,
+                                       arch=self._arch_size, offset=self._offset)
+            self._jit_predict = jax.jit(fn)
+        return np.asarray(self._jit_predict(self._params, jnp.asarray(batch)))
 
     # --------------------------------------------------------------- separate
 

@@ -7,12 +7,16 @@ Here one engine runs the whole track as a single jitted device program:
 
   gather window batch → model → window-weight → accumulate (scan)
 
-* Window positions are *static* per (track-length, chunk, step) — so the
-  overlap divider is precomputed on host, and XLA sees a fixed trip-count
-  ``lax.scan`` with only dynamic-slice adds (no scatters).
+* Window positions are *static* per (track-length, chunk, step) — so XLA sees
+  a fixed trip-count ``lax.scan`` with only dynamic-slice adds (no scatters).
 * Per-position window rows support the reference's exact tail semantics:
   MDXC clamps the tail start (duplicated trailing positions included), MDX
   windows partial tails with ``np.hanning(actual_len)`` zero-extended.
+* Host↔device traffic is minimised for tethered TPUs: when every position
+  shares one window only the ``(chunk,)`` vector crosses the wire (plus an
+  ``(N,)`` validity row for batch padding), and the overlap divider is
+  accumulated **on device** inside the same scan instead of being shipped as
+  a track-length float buffer.
 * Track length is bucketed by the caller to bound recompiles; chunk batches
   are padded with zero-weight dummy windows.
 """
@@ -42,46 +46,60 @@ def window_positions(total: int, chunk: int, step: int) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("model_fn", "chunk", "batch_size", "num_stems",
-                     "out_channels", "quantized_transfer"),
+                     "out_channels", "quantized_transfer", "has_divider"),
 )
 def _demix_scan(
     model_fn: Callable,
+    model_params,  # pytree threaded to model_fn as a traced argument
     mix: jnp.ndarray,  # (C, T_buf) — padded so every window fits
     positions: jnp.ndarray,  # (N,) int32, N % batch_size == 0
-    windows: jnp.ndarray,  # (N, chunk) float32 per-position weight rows
-    divider: jnp.ndarray,  # (T_buf,) float32 overlap normaliser
+    windows: jnp.ndarray,  # (N, chunk) dense rows OR (chunk,) shared window
+    row_scale: jnp.ndarray,  # (N,) per-row validity/weight (shared-window path)
+    divider: jnp.ndarray,  # (T_buf,) host divider, or (1,) dummy
     chunk: int,
     batch_size: int,
     num_stems: int,
     out_channels: int,
     quantized_transfer: bool,
+    has_divider: bool,
 ):
     c, t_buf = mix.shape
     n = positions.shape[0]
     nb = n // batch_size
+    shared_window = windows.ndim == 1
 
     def gather_one(pos):
         return jax.lax.dynamic_slice(mix, (0, pos), (c, chunk))
 
-    def body(acc, batch):
-        pos_b, win_b = batch
+    def body(carry, batch):
+        acc, wsum = carry
+        if shared_window:
+            pos_b, scale_b = batch
+            win_b = windows[None, :] * scale_b[:, None]
+        else:
+            pos_b, win_b = batch
         chunks = jax.vmap(gather_one)(pos_b)  # (B, C, chunk)
-        out = model_fn(chunks)  # (B, S, C, chunk)
+        out = (model_fn(model_params, chunks) if model_params is not None
+               else model_fn(chunks))  # (B, S, C, chunk)
         out = out.astype(jnp.float32) * win_b[:, None, None, :]
         for i in range(batch_size):
             sl = jax.lax.dynamic_slice(
                 acc, (0, 0, pos_b[i]), (num_stems, out_channels, chunk)
             )
             acc = jax.lax.dynamic_update_slice(acc, sl + out[i], (0, 0, pos_b[i]))
-        return acc, None
+            if not has_divider:
+                ws = jax.lax.dynamic_slice(wsum, (pos_b[i],), (chunk,))
+                wsum = jax.lax.dynamic_update_slice(wsum, ws + win_b[i], (pos_b[i],))
+        return (acc, wsum), None
 
     acc0 = jnp.zeros((num_stems, out_channels, t_buf), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(
-        body,
-        acc0,
-        (positions.reshape(nb, batch_size), windows.reshape(nb, batch_size, -1)),
-    )
-    acc = acc / divider
+    wsum0 = jnp.zeros((t_buf if not has_divider else 1,), dtype=jnp.float32)
+    xs = ((positions.reshape(nb, batch_size), row_scale.reshape(nb, batch_size))
+          if shared_window
+          else (positions.reshape(nb, batch_size),
+                windows.reshape(nb, batch_size, -1)))
+    (acc, wsum), _ = jax.lax.scan(body, (acc0, wsum0), xs)
+    acc = acc / (divider if has_divider else jnp.maximum(wsum, 1e-10))
     if not quantized_transfer:
         return acc, jnp.float32(1.0)
     # Device-side int16 quantisation halves the device→host transfer; the
@@ -102,15 +120,26 @@ def overlap_add_demix(
     positions: np.ndarray | None = None,
     divider: np.ndarray | None = None,
     quantized_transfer: bool = False,
+    model_params=None,
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
 
-    ``model_fn``: jax-traceable ``(B, C, chunk) → (B, num_stems, C, chunk)``.
-    ``window``: either ``(chunk,)`` shared weights or ``(N, chunk)``
-    per-position rows. ``positions`` overrides the default clamped list.
-    ``divider`` overrides the host-accumulated weight normaliser.
-    ``quantized_transfer`` fetches stems as scaled int16 (half the
-    device→host bytes; ~90 dB SNR, negligible next to model noise).
+    ``model_fn``: jax-traceable ``(B, C, chunk) → (B, num_stems, C, chunk)``,
+    or ``(model_params, chunks) → …`` when ``model_params`` is given.
+    ``window``: either ``(chunk,)`` shared weights (cheapest: only this vector
+    crosses host→device and the overlap divider is accumulated on device) or
+    ``(N, chunk)`` dense per-position rows for exact tail semantics.
+    ``positions`` overrides the default clamped list. ``divider`` overrides
+    the device-accumulated weight normaliser. ``quantized_transfer`` fetches
+    stems as scaled int16 (half the device→host bytes; ~90 dB SNR, negligible
+    next to model noise).
+
+    Always pass the weight pytree via ``model_params`` rather than closing
+    over device arrays: closed-over arrays are baked into the jaxpr as
+    *constants*, which re-ships the full weight set inside the serialized
+    HLO on every compile (hundreds of MB for the flagship models — minutes
+    to hours on a tethered TPU) instead of referencing the copy already
+    resident in HBM.
     """
     c, total = mix.shape
     if positions is None:
@@ -122,40 +151,46 @@ def overlap_add_demix(
     n = len(positions)
 
     window = np.asarray(window, dtype=np.float32)
-    windows = np.broadcast_to(window, (n, chunk)) if window.ndim == 1 else window
-    assert windows.shape == (n, chunk)
+    shared_window = window.ndim == 1
+    if not shared_window:
+        assert window.shape == (n, chunk)
 
     # Device buffer must fit every gathered/accumulated window.
     t_buf = max(total, int(positions.max()) + chunk)
     mix_buf = np.zeros((c, t_buf), dtype=np.float32)
     mix_buf[:, :total] = mix
 
-    if divider is None:
-        divider = np.zeros(t_buf, dtype=np.float32)
-        for p, w in zip(positions, windows):
-            divider[p : p + chunk] += w
-        divider = np.maximum(divider, 1e-10)
-    elif len(divider) < t_buf:
+    has_divider = divider is not None
+    if has_divider and len(divider) < t_buf:
         divider = np.concatenate(
             [divider, np.ones(t_buf - len(divider), np.float32)])
 
     n_pad = -(-n // batch_size) * batch_size
     positions_padded = np.zeros(n_pad, dtype=np.int32)
     positions_padded[:n] = positions
-    windows_padded = np.zeros((n_pad, chunk), dtype=np.float32)
-    windows_padded[:n] = windows
+    row_scale = np.zeros(n_pad, dtype=np.float32)
+    row_scale[:n] = 1.0
+    if shared_window:
+        windows_dev = window
+    else:
+        windows_dev = np.zeros((n_pad, chunk), dtype=np.float32)
+        windows_dev[:n] = window
 
     acc, scale = _demix_scan(
         model_fn,
+        model_params,
         jnp.asarray(mix_buf),
         jnp.asarray(positions_padded),
-        jnp.asarray(windows_padded),
-        jnp.asarray(np.maximum(divider, 1e-10), dtype=jnp.float32),
+        jnp.asarray(windows_dev),
+        jnp.asarray(row_scale),
+        jnp.asarray(np.maximum(divider, 1e-10), dtype=jnp.float32)
+        if has_divider else jnp.zeros((1,), jnp.float32),
         chunk,
         batch_size,
         num_stems,
         c,
         quantized_transfer,
+        has_divider,
     )
     if quantized_transfer:
         return np.asarray(acc)[..., :total].astype(np.float32) / float(scale)

@@ -20,6 +20,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compile cache: repeat runs (and the driver's bench run) skip
+    # the one-off XLA compile of the demix program.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from audio_separator_tpu.models.init_params import flagship_config, init_roformer_params
@@ -39,8 +44,8 @@ def main():
     params = init_roformer_params(cfg, seed=0)
     params = jax.device_put(jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params))
 
-    def model_fn(chunks):  # (B, 2, chunk) -> (B, S, 2, chunk)
-        out = apply_roformer(params, cfg, chunks, compute_dtype=jnp.bfloat16)
+    def model_fn(p, chunks):  # (B, 2, chunk) -> (B, S, 2, chunk)
+        out = apply_roformer(p, cfg, chunks, compute_dtype=jnp.bfloat16)
         return out[..., : chunks.shape[-1]]
 
     rng = np.random.default_rng(0)
@@ -49,9 +54,10 @@ def main():
     def run(n_seconds):
         mix = (rng.standard_normal((2, int(n_seconds * sr))) * 0.1).astype(np.float32)
         return overlap_add_demix(model_fn, mix, chunk, step, window,
-                                 num_stems=cfg.num_stems, batch_size=batch_size)
+                                 num_stems=cfg.num_stems, batch_size=batch_size,
+                                 model_params=params, quantized_transfer=True)
 
-    run(2 * chunk / sr + 1.0)  # warmup / compile
+    run(seconds)  # warmup: compile the exact program shape measured below
     t0 = time.time()
     out = run(seconds)
     elapsed = time.time() - t0

@@ -31,11 +31,18 @@ def fixtures_dir():
 
 
 @pytest.fixture(scope="module", autouse=True)
-def _clear_jax_caches():
-    """Bound memory across the suite: compiled executables for the many
-    parity-test shapes otherwise accumulate to an OOM abort."""
+def _collect_between_modules():
+    """Release dead arrays between modules to bound suite memory.
+
+    Deliberately does NOT call ``jax.clear_caches()``: clearing live XLA:CPU
+    executables mid-session corrupts the heap in this jaxlib (deterministic
+    ``double free or corruption (out)`` abort a few allocations later —
+    bisected to the clear via tests/test_htdemucs.py::
+    test_demucs_separator_end_to_end + tests/test_vr.py::
+    test_vr_separator_end_to_end). Compiled-program accumulation across the
+    suite stays well under this machine's RAM.
+    """
     yield
-    jax.clear_caches()
     import gc
 
     gc.collect()
