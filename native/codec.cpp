@@ -12,6 +12,7 @@
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
+#include <libavutil/audio_fifo.h>
 #include <libavutil/opt.h>
 #include <libavutil/channel_layout.h>
 #include <libswresample/swresample.h>
@@ -208,15 +209,42 @@ int as_decode(const char* path, int target_sr, int target_channels,
 // `format`: "wav" | "flac" | "mp3" | "ogg" | "opus" | "m4a"/"aac" | "aiff".
 // `bit_depth`: 16, 24, 32 (32 = float for wav); best effort per codec.
 // `bitrate_kbps`: lossy-codec bitrate; 0 = codec default.
+//
+// Input PCM is resampled to the nearest encoder-supported rate when the
+// codec restricts rates (e.g. opus: 48 kHz); frames are re-blocked through
+// an AVAudioFifo so arbitrary swr output sizes meet fixed encoder framing.
 int as_encode(const char* path, const float* data, long long frames,
               int channels, int sample_rate, const char* format,
               int bit_depth, int bitrate_kbps) {
   std::string fmt = format ? format : "wav";
   AVFormatContext* oc = nullptr;
+  AVCodecContext* c = nullptr;
+  SwrContext* swr = nullptr;
+  AVAudioFifo* fifo = nullptr;
+  AVFrame* frame = nullptr;
+  AVFrame* in_frame = nullptr;
+  AVPacket* pkt = nullptr;
+  bool ok = false;
+  bool header_written = false;
+
   int err = avformat_alloc_output_context2(&oc, nullptr,
                                            fmt == "m4a" ? "mp4" : fmt.c_str(),
                                            path);
   if (err < 0 || !oc) { set_error("output ctx", err); return -1; }
+
+  auto cleanup = [&]() {
+    if (frame) av_frame_free(&frame);
+    if (in_frame) av_frame_free(&in_frame);
+    if (pkt) av_packet_free(&pkt);
+    if (fifo) av_audio_fifo_free(fifo);
+    if (swr) swr_free(&swr);
+    if (c) avcodec_free_context(&c);
+    if (oc) {
+      if (!(oc->oformat->flags & AVFMT_NOFILE) && oc->pb) avio_closep(&oc->pb);
+      avformat_free_context(oc);
+      oc = nullptr;
+    }
+  };
 
   AVCodecID codec_id;
   if (fmt == "wav" || fmt == "aiff") {
@@ -229,11 +257,37 @@ int as_encode(const char* path, const float* data, long long frames,
     codec_id = oc->oformat->audio_codec;
   }
   const AVCodec* enc = avcodec_find_encoder(codec_id);
-  if (!enc) { set_error("no encoder for format " + fmt); avformat_free_context(oc); return -1; }
+  if (!enc) { set_error("no encoder for format " + fmt); cleanup(); return -1; }
 
   AVStream* st = avformat_new_stream(oc, nullptr);
-  AVCodecContext* c = avcodec_alloc_context3(enc);
-  c->sample_rate = sample_rate;
+  c = avcodec_alloc_context3(enc);
+  if (!st || !c) { set_error("stream alloc"); cleanup(); return -1; }
+
+  // Pick an encoder-supported sample rate, preferring the input rate, else
+  // the smallest supported rate >= input (opus: 48000), else the largest.
+  int enc_rate = sample_rate;
+  {
+    const int* rates = nullptr;
+#if LIBAVCODEC_VERSION_MAJOR >= 61
+    int nr = 0;
+    avcodec_get_supported_config(nullptr, enc, AV_CODEC_CONFIG_SAMPLE_RATE, 0,
+                                 (const void**)&rates, &nr);
+#else
+    rates = enc->supported_samplerates;
+#endif
+    if (rates && rates[0] != 0) {
+      bool native_ok = false;
+      int best_up = 0, best_any = 0;
+      for (const int* r = rates; *r != 0; ++r) {
+        if (*r == sample_rate) native_ok = true;
+        if (*r >= sample_rate && (best_up == 0 || *r < best_up)) best_up = *r;
+        if (*r > best_any) best_any = *r;
+      }
+      if (!native_ok) enc_rate = best_up ? best_up : best_any;
+    }
+  }
+
+  c->sample_rate = enc_rate;
   av_channel_layout_default(&c->ch_layout, channels);
   if (bitrate_kbps > 0) c->bit_rate = (int64_t)bitrate_kbps * 1000;
 
@@ -264,28 +318,32 @@ int as_encode(const char* path, const float* data, long long frames,
     c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
 
   err = avcodec_open2(c, enc, nullptr);
-  if (err < 0) { set_error("encoder open", err); avcodec_free_context(&c); avformat_free_context(oc); return -1; }
+  if (err < 0) { set_error("encoder open", err); cleanup(); return -1; }
   avcodec_parameters_from_context(st->codecpar, c);
-  st->time_base = {1, sample_rate};
+  st->time_base = {1, enc_rate};
 
   if (!(oc->oformat->flags & AVFMT_NOFILE)) {
     err = avio_open(&oc->pb, path, AVIO_FLAG_WRITE);
-    if (err < 0) { set_error("avio open", err); avcodec_free_context(&c); avformat_free_context(oc); return -1; }
+    if (err < 0) { set_error("avio open", err); cleanup(); return -1; }
   }
   err = avformat_write_header(oc, nullptr);
-  if (err < 0) { set_error("write header", err); return -1; }
+  if (err < 0) { set_error("write header", err); cleanup(); return -1; }
+  header_written = true;
 
-  SwrContext* swr = nullptr;
-  err = swr_alloc_set_opts2(&swr, &c->ch_layout, c->sample_fmt, sample_rate,
-                            &c->ch_layout, AV_SAMPLE_FMT_FLT, sample_rate, 0, nullptr);
-  if (err < 0 || !swr || swr_init(swr) < 0) { set_error("encode swr"); return -1; }
+  err = swr_alloc_set_opts2(&swr, &c->ch_layout, c->sample_fmt, enc_rate,
+                            &c->ch_layout, AV_SAMPLE_FMT_FLT, sample_rate, 0,
+                            nullptr);
+  if (err < 0 || !swr || swr_init(swr) < 0) { set_error("encode swr"); cleanup(); return -1; }
 
-  int chunk = c->frame_size > 0 ? c->frame_size : 4096;
-  AVFrame* frame = av_frame_alloc();
-  AVPacket* pkt = av_packet_alloc();
-  long long pos = 0;
+  fifo = av_audio_fifo_alloc(c->sample_fmt, channels, 1 << 15);
+  frame = av_frame_alloc();
+  in_frame = av_frame_alloc();
+  pkt = av_packet_alloc();
+  if (!fifo || !frame || !in_frame || !pkt) { set_error("alloc"); cleanup(); return -1; }
+
+  const int enc_chunk = c->frame_size > 0 ? c->frame_size : 4096;
+  const int in_chunk = 8192;
   int64_t pts = 0;
-  bool ok = true;
 
   auto send_and_mux = [&](AVFrame* f) -> bool {
     int e = avcodec_send_frame(c, f);
@@ -300,35 +358,67 @@ int as_encode(const char* path, const float* data, long long frames,
     return true;
   };
 
+  // Drain `min_keep`-gated frames from the FIFO into the encoder.
+  auto drain_fifo = [&](int min_keep) -> bool {
+    while (av_audio_fifo_size(fifo) > min_keep) {
+      int n = av_audio_fifo_size(fifo);
+      if (n > enc_chunk) n = enc_chunk;
+      if (min_keep > 0 && n < enc_chunk) break;  // wait for a full frame
+      frame->nb_samples = n;
+      av_channel_layout_copy(&frame->ch_layout, &c->ch_layout);
+      frame->format = c->sample_fmt;
+      frame->sample_rate = enc_rate;
+      if (av_frame_get_buffer(frame, 0) < 0) { set_error("frame buffer"); return false; }
+      if (av_audio_fifo_read(fifo, (void**)frame->extended_data, n) < n) {
+        set_error("fifo read"); return false;
+      }
+      frame->pts = pts;
+      pts += n;
+      if (!send_and_mux(frame)) return false;
+      av_frame_unref(frame);
+    }
+    return true;
+  };
+
+  // Push converted samples (in encoder format/rate) into the FIFO.
+  auto convert_into_fifo = [&](const uint8_t** src, int n_in) -> bool {
+    int64_t delay = swr_get_delay(swr, sample_rate);
+    int max_out = (int)av_rescale_rnd(delay + n_in, enc_rate, sample_rate,
+                                      AV_ROUND_UP) + 256;
+    in_frame->nb_samples = max_out;
+    av_channel_layout_copy(&in_frame->ch_layout, &c->ch_layout);
+    in_frame->format = c->sample_fmt;
+    in_frame->sample_rate = enc_rate;
+    if (av_frame_get_buffer(in_frame, 0) < 0) { set_error("swr buffer"); return false; }
+    int got = swr_convert(swr, in_frame->extended_data, max_out, src, n_in);
+    if (got < 0) { set_error("encode convert", got); return false; }
+    if (got > 0 &&
+        av_audio_fifo_write(fifo, (void**)in_frame->extended_data, got) < got) {
+      set_error("fifo write"); av_frame_unref(in_frame); return false;
+    }
+    av_frame_unref(in_frame);
+    return true;
+  };
+
+  ok = true;
+  long long pos = 0;
   while (pos < frames && ok) {
-    int n = (int)((frames - pos) < chunk ? (frames - pos) : chunk);
-    frame->nb_samples = n;
-    av_channel_layout_copy(&frame->ch_layout, &c->ch_layout);
-    frame->format = c->sample_fmt;
-    frame->sample_rate = sample_rate;
-    if (av_frame_get_buffer(frame, 0) < 0) { set_error("frame buffer"); ok = false; break; }
+    int n = (int)((frames - pos) < in_chunk ? (frames - pos) : in_chunk);
     const uint8_t* src = reinterpret_cast<const uint8_t*>(data + pos * channels);
-    int got = swr_convert(swr, frame->extended_data, n, &src, n);
-    if (got < 0) { set_error("encode convert", got); ok = false; break; }
-    frame->nb_samples = got;
-    frame->pts = pts;
-    pts += got;
-    ok = send_and_mux(frame);
-    av_frame_unref(frame);
+    ok = convert_into_fifo(&src, n) && drain_fifo(enc_chunk - 1);
     pos += n;
   }
-  if (ok) ok = send_and_mux(nullptr);  // flush
+  if (ok) ok = convert_into_fifo(nullptr, 0);  // flush resampler tail
+  if (ok) ok = drain_fifo(0);                  // drain everything (short last frame ok)
+  if (ok) ok = send_and_mux(nullptr);          // flush encoder
   if (ok) {
     err = av_write_trailer(oc);
     if (err < 0) { set_error("trailer", err); ok = false; }
+  } else if (header_written) {
+    av_write_trailer(oc);  // keep the container parsable even on error
   }
 
-  av_frame_free(&frame);
-  av_packet_free(&pkt);
-  swr_free(&swr);
-  avcodec_free_context(&c);
-  if (!(oc->oformat->flags & AVFMT_NOFILE) && oc->pb) avio_closep(&oc->pb);
-  avformat_free_context(oc);
+  cleanup();
   return ok ? 0 : -1;
 }
 
