@@ -47,6 +47,7 @@ class MDXCSeparator(BaseSeparator):
 
         self.model_cfg: Optional[RoformerConfig] = None
         self.params = None
+        self.loading_result = None  # ModelLoadingResult for roformer loads
         self.load_model()
 
         training = self.model_data.get("training") or {}
@@ -61,8 +62,31 @@ class MDXCSeparator(BaseSeparator):
 
     def load_model(self):
         if self.is_roformer:
+            import time as _time
+
+            from ..separator.roformer_config import (
+                ModelLoadingResult,
+                collect_config_warnings,
+                detect_roformer_type,
+                flatten_model_config,
+                normalize_roformer_params,
+            )
+
+            t0 = _time.perf_counter()
             self.model_cfg = build_roformer_config(self.model_data, self.model_path or "")
             params = cached_convert(self.model_path, self.model_cfg, convert_roformer)
+            flat = normalize_roformer_params(flatten_model_config(self.model_data))
+            self.loading_result = ModelLoadingResult(
+                success=True,
+                model_type=detect_roformer_type(flat, self.model_path or ""),
+                parameter_count=sum(int(np.prod(a.shape))
+                                    for a in jax.tree.leaves(params)),
+                load_duration_seconds=_time.perf_counter() - t0,
+                warnings=collect_config_warnings(flat),
+            )
+            for w in self.loading_result.warnings:
+                self.logger.warning(w)
+            self.logger.debug(self.loading_result.summary())
         else:
             from ..models.convert import convert_tfc_tdf
             from ..models.tfc_tdf import build_tfc_tdf_config

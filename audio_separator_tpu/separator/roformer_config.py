@@ -9,13 +9,64 @@ framework's :class:`RoformerConfig`.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+import dataclasses
+from typing import Any, Dict, List, Optional
 
 from ..models.roformer import RoformerConfig
 
 
 class RoformerConfigError(ValueError):
     """Raised when a RoFormer configuration is invalid."""
+
+
+class ParameterValidationError(RoformerConfigError):
+    """Structured single-parameter validation failure
+    (ref: audio_separator/separator/roformer/parameter_validation_error.py).
+
+    Carries the offending parameter, what was expected, what was found, and a
+    suggestion — so callers/UIs can render actionable messages instead of a
+    bare string.
+    """
+
+    def __init__(self, parameter: str, expected: str, actual: Any,
+                 suggestion: str = ""):
+        self.parameter = parameter
+        self.expected = expected
+        self.actual = actual
+        self.suggestion = suggestion
+        msg = f"parameter {parameter!r}: expected {expected}, got {actual!r}"
+        if suggestion:
+            msg += f" — {suggestion}"
+        super().__init__(msg)
+
+
+@dataclasses.dataclass
+class ModelLoadingResult:
+    """Outcome record for a RoFormer model load
+    (ref: audio_separator/separator/roformer/model_loading_result.py).
+
+    ``implementation_used`` is always the JAX path in this framework (the
+    reference tracks current-vs-legacy torch implementations); kept for API
+    parity so downstream tooling can read the same fields.
+    """
+
+    success: bool
+    model_type: str = ""
+    implementation_used: str = "jax"
+    parameter_count: int = 0
+    load_duration_seconds: float = 0.0
+    warnings: List[str] = dataclasses.field(default_factory=list)
+    error: Optional[str] = None
+
+    def add_warning(self, message: str) -> None:
+        self.warnings.append(message)
+
+    def summary(self) -> str:
+        status = "loaded" if self.success else f"FAILED ({self.error})"
+        return (f"{self.model_type or 'roformer'} {status} via "
+                f"{self.implementation_used}: {self.parameter_count:,} params "
+                f"in {self.load_duration_seconds:.2f}s"
+                + (f"; {len(self.warnings)} warning(s)" if self.warnings else ""))
 
 
 _NAME_MAP = {
@@ -121,28 +172,76 @@ def detect_roformer_type(config: Dict[str, Any], model_path: str = "") -> str:
 
 def validate_roformer_params(params: Dict[str, Any], model_type: str) -> None:
     """Essential structural checks (ref: bs_roformer_validator.py:23-139,
-    mel_band_roformer_validator.py)."""
+    mel_band_roformer_validator.py). Raises :class:`ParameterValidationError`
+    identifying the offending parameter."""
     for key in ("dim", "depth"):
         if key not in params:
-            raise RoformerConfigError(f"missing required parameter {key!r}")
+            raise ParameterValidationError(
+                key, "a value (missing required parameter)", None,
+                "add it to the model section of the YAML config")
         if not isinstance(params[key], int) or params[key] <= 0:
-            raise RoformerConfigError(f"{key} must be a positive integer, got {params[key]!r}")
+            raise ParameterValidationError(key, "a positive integer", params[key])
+    for key in ("heads", "dim_head", "num_stems", "stft_n_fft", "stft_hop_length"):
+        v = params.get(key)
+        if v is not None and (not isinstance(v, int) or v <= 0):
+            raise ParameterValidationError(key, "a positive integer", v)
     if model_type == "bs_roformer":
         fpb = params.get("freqs_per_bands")
         if not fpb or len(fpb) < 2:
-            raise RoformerConfigError("bs_roformer requires freqs_per_bands with >= 2 bands")
+            raise ParameterValidationError(
+                "freqs_per_bands", ">= 2 bands", fpb,
+                "bs_roformer requires the per-band frequency table")
         n_bins = params.get("stft_n_fft", 2048) // 2 + 1
         if sum(fpb) != n_bins:
-            raise RoformerConfigError(
-                f"freqs_per_bands must sum to {n_bins} (n_fft//2+1), got {sum(fpb)}"
-            )
+            raise ParameterValidationError(
+                "freqs_per_bands", f"values that sum to {n_bins} (n_fft//2+1)",
+                sum(fpb))
     else:
         nb = params.get("num_bands")
         if not nb or nb <= 1:
-            raise RoformerConfigError("mel_band_roformer requires num_bands > 1")
+            raise ParameterValidationError(
+                "num_bands", "> 1", nb,
+                "mel_band_roformer requires the mel band count")
         sr = params.get("sample_rate", 44100)
         if sr <= 0:
-            raise RoformerConfigError(f"invalid sample_rate {sr}")
+            raise ParameterValidationError("sample_rate", "a positive rate", sr)
+
+
+# Parameters the JAX implementation consumes, plus accepted no-op extras
+# (training-time knobs that are valid in checkpoint YAMLs but irrelevant at
+# inference). Anything else earns a warning on the ModelLoadingResult.
+_CONSUMED_KEYS = {
+    "dim", "depth", "stereo", "num_stems", "time_transformer_depth",
+    "freq_transformer_depth", "linear_transformer_depth", "freqs_per_bands",
+    "num_bands", "sample_rate", "dim_head", "heads", "stft_n_fft",
+    "stft_hop_length", "stft_win_length", "mask_estimator_depth",
+    "mlp_expansion_factor", "match_input_audio_length",
+}
+_ACCEPTED_NOOP_KEYS = {
+    "attn_dropout", "ff_dropout", "flash_attn", "sage_attention", "zero_dc",
+    "use_torch_checkpoint", "skip_connection", "stft_normalized",
+    "stft_window_fn", "multi_stft_resolutions_window_sizes",
+    "multi_stft_hop_size", "multi_stft_normalized", "multi_stft_window_fn",
+    "multi_stft_resolution_loss_weight", "mask_add", "mlp_expansion_factor",
+    "dim_freqs_in", "time_rel_pos", "freq_rel_pos", "norm", "act", "fmin",
+    "fmax", "mel_scale", "mono", "dim_t", "hop_length", "n_fft",
+    "model_type", "type", "architecture",
+}
+
+
+def collect_config_warnings(flat: Dict[str, Any]) -> List[str]:
+    """Non-fatal observations about a normalized config
+    (ref: roformer_loader.py loading-stats warnings)."""
+    warnings: List[str] = []
+    unknown = sorted(k for k in flat
+                     if k not in _CONSUMED_KEYS and k not in _ACCEPTED_NOOP_KEYS)
+    if unknown:
+        warnings.append(f"ignoring unknown config parameters: {', '.join(unknown)}")
+    for k in ("attn_dropout", "ff_dropout"):
+        if flat.get(k):
+            warnings.append(f"{k}={flat[k]} is a training-time setting; "
+                            "inference runs with dropout disabled")
+    return warnings
 
 
 def build_roformer_config(raw_config: Dict[str, Any], model_path: str = "") -> RoformerConfig:

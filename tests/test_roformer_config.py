@@ -97,3 +97,43 @@ def test_defaults_for_missing_mask_depth():
         {"model": {"dim": 64, "depth": 2, "num_bands": 60}},
         "mel_band_roformer.ckpt")
     assert mel.mask_estimator_depth == 1  # Mel default
+
+
+def test_parameter_validation_error_structure():
+    """ParameterValidationError carries structured fields
+    (ref: roformer/parameter_validation_error.py)."""
+    from audio_separator_tpu.separator.roformer_config import (
+        ParameterValidationError,
+        validate_roformer_params,
+    )
+
+    with pytest.raises(ParameterValidationError) as ei:
+        validate_roformer_params({"dim": -4, "depth": 2}, "bs_roformer")
+    err = ei.value
+    assert err.parameter == "dim"
+    assert err.actual == -4
+    assert "positive integer" in str(err)
+
+
+def test_collect_config_warnings_flags_unknown_and_dropout():
+    from audio_separator_tpu.separator.roformer_config import collect_config_warnings
+
+    warnings = collect_config_warnings(
+        {"dim": 64, "depth": 2, "attn_dropout": 0.1, "banana_mode": True})
+    text = "\n".join(warnings)
+    assert "banana_mode" in text
+    assert "attn_dropout" in text
+    assert collect_config_warnings({"dim": 64, "depth": 2}) == []
+
+
+def test_model_loading_result_summary():
+    from audio_separator_tpu.separator.roformer_config import ModelLoadingResult
+
+    res = ModelLoadingResult(success=True, model_type="bs_roformer",
+                             parameter_count=1234567, load_duration_seconds=1.5)
+    res.add_warning("something benign")
+    s = res.summary()
+    assert "bs_roformer" in s and "jax" in s and "1,234,567" in s and "warning" in s
+
+    failed = ModelLoadingResult(success=False, error="bad checkpoint")
+    assert "FAILED" in failed.summary()
