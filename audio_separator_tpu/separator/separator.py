@@ -85,6 +85,7 @@ class Separator:
         ensemble_weights=None,
         ensemble_preset=None,
         info_only=False,
+        trace_dir=None,
     ):
         self.logger = logging.getLogger(__name__)
         self.logger.setLevel(log_level)
@@ -129,6 +130,7 @@ class Separator:
         self.use_soundfile = use_soundfile
         self.use_autocast = use_autocast
         self.chunk_duration = chunk_duration
+        self.trace_dir = trace_dir
 
         # Ensemble configuration (ref: separator.py:227-238).
         self.ensemble_algorithm = ensemble_algorithm
@@ -368,13 +370,24 @@ class Separator:
                 return self._process_with_chunking(audio_file_path, custom_output_names)
 
         self.logger.info(f"Starting separation process for audio_file_path: {audio_file_path}")
+        from ..utils.profiling import device_trace
+
         start = time.perf_counter()
-        output_files = self.model_instance.separate(audio_file_path, custom_output_names)
+        with device_trace(self.trace_dir, self.logger):
+            output_files = self.model_instance.separate(audio_file_path, custom_output_names)
         self.model_instance.clear_file_specific_paths()
         self.print_uvr_vip_message()
+        elapsed = time.perf_counter() - start
         self.logger.info(
             f'Separation duration: '
-            f'{time.strftime("%H:%M:%S", time.gmtime(int(time.perf_counter() - start)))}')
+            f'{time.strftime("%H:%M:%S", time.gmtime(int(elapsed)))}')
+        try:
+            info = audio_io.probe(audio_file_path)
+            if info.frames > 0 and info.sample_rate > 0 and elapsed > 0:
+                rtf = (info.frames / info.sample_rate) / elapsed
+                self.logger.info(f"Real-time factor: {rtf:.1f}x")
+        except Exception:
+            pass
         return output_files
 
     def _process_with_chunking(self, audio_file_path: str, custom_output_names=None) -> List[str]:

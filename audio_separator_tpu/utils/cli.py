@@ -64,6 +64,9 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
                         help="Use bfloat16 mixed precision for faster inference.")
     common.add_argument("--chunk_duration", type=float, default=None,
                         help="Split audio into chunks of this many seconds for processing.")
+    common.add_argument("--trace_dir", default=None,
+                        help="Capture a jax profiler device trace of each separation "
+                             "into this directory (TensorBoard-loadable).")
     common.add_argument("--ensemble_algorithm", default=None,
                         choices=["avg_wave", "median_wave", "min_wave", "max_wave",
                                  "avg_fft", "median_fft", "min_fft", "max_fft",
@@ -202,6 +205,7 @@ def main(argv=None):
         use_soundfile=args.use_soundfile,
         use_autocast=args.use_autocast,
         chunk_duration=args.chunk_duration,
+        trace_dir=args.trace_dir,
         ensemble_algorithm=args.ensemble_algorithm,
         ensemble_weights=args.ensemble_weights,
         ensemble_preset=args.ensemble_preset,
