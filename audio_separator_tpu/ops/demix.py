@@ -46,7 +46,8 @@ def window_positions(total: int, chunk: int, step: int) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("model_fn", "chunk", "batch_size", "num_stems",
-                     "out_channels", "quantized_transfer", "has_divider"),
+                     "out_channels", "quantized_transfer", "has_divider",
+                     "mesh", "data_axis"),
 )
 def _demix_scan(
     model_fn: Callable,
@@ -62,11 +63,17 @@ def _demix_scan(
     out_channels: int,
     quantized_transfer: bool,
     has_divider: bool,
+    mesh=None,
+    data_axis: str = "data",
 ):
     c, t_buf = mix.shape
     n = positions.shape[0]
     nb = n // batch_size
     shared_window = windows.ndim == 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec(data_axis))
 
     def gather_one(pos):
         return jax.lax.dynamic_slice(mix, (0, pos), (c, chunk))
@@ -79,6 +86,11 @@ def _demix_scan(
         else:
             pos_b, win_b = batch
         chunks = jax.vmap(gather_one)(pos_b)  # (B, C, chunk)
+        if mesh is not None:
+            # Chunk-batch data parallelism: each scan step's window batch
+            # shards over the mesh "data" axis; XLA SPMD partitions the model
+            # forward and inserts the gathers for the shared accumulator.
+            chunks = jax.lax.with_sharding_constraint(chunks, batch_sharding)
         out = (model_fn(model_params, chunks) if model_params is not None
                else model_fn(chunks))  # (B, S, C, chunk)
         out = out.astype(jnp.float32) * win_b[:, None, None, :]
@@ -121,6 +133,8 @@ def overlap_add_demix(
     divider: np.ndarray | None = None,
     quantized_transfer: bool = False,
     model_params=None,
+    mesh=None,
+    data_axis: str = "data",
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
 
@@ -133,6 +147,12 @@ def overlap_add_demix(
     the device-accumulated weight normaliser. ``quantized_transfer`` fetches
     stems as scaled int16 (half the device→host bytes; ~90 dB SNR, negligible
     next to model noise).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip execution — each
+    scan step's window batch shards over ``data_axis`` (chunk-batch data
+    parallelism, SURVEY §2.8); compose with TP-sharded ``model_params`` (see
+    ``parallel.mesh.shard_roformer_params``) and XLA SPMD inserts the
+    collectives. ``batch_size`` is rounded up to the axis extent.
 
     Always pass the weight pytree via ``model_params`` rather than closing
     over device arrays: closed-over arrays are baked into the jaxpr as
@@ -165,6 +185,12 @@ def overlap_add_demix(
         divider = np.concatenate(
             [divider, np.ones(t_buf - len(divider), np.float32)])
 
+    if mesh is not None:
+        # Round the per-step batch up to the data-axis extent so every device
+        # holds at least one window per step.
+        ndev = mesh.shape[data_axis]
+        batch_size = -(-batch_size // ndev) * ndev
+
     n_pad = -(-n // batch_size) * batch_size
     positions_padded = np.zeros(n_pad, dtype=np.int32)
     positions_padded[:n] = positions
@@ -191,6 +217,8 @@ def overlap_add_demix(
         c,
         quantized_transfer,
         has_divider,
+        mesh,
+        data_axis,
     )
     if quantized_transfer:
         return np.asarray(acc)[..., :total].astype(np.float32) / float(scale)
