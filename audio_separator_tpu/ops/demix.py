@@ -31,6 +31,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bucket_up(n: int, quantum: int = 1) -> int:
+    """Round ``n`` up into a coarse bucket (in units of ``quantum``).
+
+    Schedule: 1..4 exact, then {6, 8, 12, 16, 24, 32, ...} — successive
+    +50%/+33% steps, so wasted work is bounded by ~1/3 while the number of
+    distinct compiled program shapes stays logarithmic in track length.
+    """
+    units = -(-n // quantum)
+    if units <= 4:
+        return units * quantum
+    b = 4
+    while b < units:  # 6, 8, 12, 16, 24, 32, ... ({4,6} x powers of two)
+        b = b * 3 // 2 if (b & (b - 1)) == 0 else b * 4 // 3
+    return b * quantum
+
+
 def window_positions(total: int, chunk: int, step: int) -> np.ndarray:
     """Reference-compatible clamped window start positions
     (mdxc_separator.py:320-341): every ``i`` in range(0, total, step), clamped
@@ -135,6 +151,7 @@ def overlap_add_demix(
     model_params=None,
     mesh=None,
     data_axis: str = "data",
+    bucket: bool = True,
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
 
@@ -177,6 +194,12 @@ def overlap_add_demix(
 
     # Device buffer must fit every gathered/accumulated window.
     t_buf = max(total, int(positions.max()) + chunk)
+    if bucket:
+        # Quantise the program shape so nearby track lengths reuse one
+        # compiled executable (XLA compiles are minutes on a tethered TPU).
+        # Exactness is preserved: extra buffer is cropped, extra window rows
+        # carry zero weight.
+        t_buf = bucket_up(t_buf, chunk)
     mix_buf = np.zeros((c, t_buf), dtype=np.float32)
     mix_buf[:, :total] = mix
 
@@ -191,7 +214,8 @@ def overlap_add_demix(
         ndev = mesh.shape[data_axis]
         batch_size = -(-batch_size // ndev) * ndev
 
-    n_pad = -(-n // batch_size) * batch_size
+    n_pad = (bucket_up(n, batch_size) if bucket
+             else -(-n // batch_size) * batch_size)
     positions_padded = np.zeros(n_pad, dtype=np.int32)
     positions_padded[:n] = positions
     row_scale = np.zeros(n_pad, dtype=np.float32)

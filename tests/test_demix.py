@@ -102,3 +102,26 @@ def test_demix_sharded_with_tp_params():
     sharded = overlap_add_demix(model, mix, chunk, step, window, num_stems=2,
                                 batch_size=2, model_params=params, mesh=mesh)
     np.testing.assert_allclose(sharded, base, atol=1e-4)
+
+
+def test_bucket_up_schedule():
+    from audio_separator_tpu.ops.demix import bucket_up
+
+    assert [bucket_up(i) for i in range(1, 8)] == [1, 2, 3, 4, 6, 6, 8]
+    assert bucket_up(9) == 12 and bucket_up(13) == 16 and bucket_up(17) == 24
+    assert bucket_up(5, quantum=4) == 8  # 2 units of 4
+    assert bucket_up(33, quantum=2) == 24 * 2
+
+
+def test_demix_bucketing_exact_across_lengths():
+    """Shape bucketing (compile-cache reuse) never changes the output."""
+    rng = np.random.default_rng(3)
+    chunk, step = 2048, 1500
+    window = np.asarray(hamming_window(chunk))
+    for total in (3000, 9999, 10000, 17777, 26000):
+        mix = rng.standard_normal((2, total)).astype(np.float32)
+        exact = overlap_add_demix(_model, mix, chunk, step, window,
+                                  num_stems=2, batch_size=2, bucket=False)
+        bucketed = overlap_add_demix(_model, mix, chunk, step, window,
+                                     num_stems=2, batch_size=2, bucket=True)
+        np.testing.assert_allclose(bucketed, exact, atol=1e-6), total
