@@ -12,13 +12,34 @@ Baseline (BASELINE.json): >= 50x realtime on one v5e chip.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 
+def _arm_watchdog(seconds: float):
+    """Guarantee ONE JSON line even if the TPU tunnel wedges (it has been
+    observed to hang indefinitely): after `seconds`, emit a zero-valued
+    record and hard-exit."""
+    def fire():
+        print(json.dumps({
+            "metric": "bs_roformer_rtf_1chip", "value": 0.0,
+            "unit": "x_realtime", "vs_baseline": 0.0,
+            "error": f"watchdog: no result within {seconds:.0f}s (TPU stall?)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", 2400)))
     import jax
 
     # Persistent compile cache: repeat runs (and the driver's bench run) skip
@@ -64,6 +85,7 @@ def main():
     assert np.isfinite(out).all()
 
     rtf = seconds / elapsed
+    watchdog.cancel()
     print(json.dumps({
         "metric": "bs_roformer_rtf_1chip",
         "value": round(rtf, 2),
