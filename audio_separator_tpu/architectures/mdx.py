@@ -73,11 +73,16 @@ class MDXSeparator(BaseSeparator):
     def _model_fn(self, is_match_mix: bool):
         n_fft, hop, dim_f = self.n_fft, self.hop_length, self.dim_f
         win = self._window()
+        net_dtype = jnp.bfloat16 if self.use_autocast else jnp.float32
 
         def fn(params, chunks):  # (B, 2, chunk) → (B, 1, 2, chunk)
             spek = stft_real_packed(chunks, n_fft, hop, win, dim_f)
             spek = spek.at[:, :, :3, :].set(0.0)  # low-bin suppression
-            spec_pred = spek if is_match_mix else self._run_net(params, spek)
+            # STFT/iSTFT stay fp32; the conv U-Net runs in the autocast dtype
+            # (weights follow the input dtype inside the ONNX executor).
+            spec_pred = (spek if is_match_mix
+                         else self._run_net(params, spek.astype(net_dtype))
+                         .astype(jnp.float32))
             out = istft_real_packed(spec_pred, n_fft, hop, win)
             out = out[..., : chunks.shape[-1]]
             if out.shape[-1] < chunks.shape[-1]:

@@ -105,11 +105,18 @@ class VRSeparator(BaseSeparator):
         if self._jit_predict is None:
             n_fft_bins = self.mp["bins"] * 2
             if self.is_vr_51_model:
-                fn = functools.partial(predict_mask_v51, n_fft_bins=n_fft_bins,
-                                       offset=self._offset)
+                base = functools.partial(predict_mask_v51, n_fft_bins=n_fft_bins,
+                                         offset=self._offset)
             else:
-                fn = functools.partial(predict_mask_v5, n_fft_bins=n_fft_bins,
-                                       arch=self._arch_size, offset=self._offset)
+                base = functools.partial(predict_mask_v5, n_fft_bins=n_fft_bins,
+                                         arch=self._arch_size, offset=self._offset)
+            if self.use_autocast:
+                # Net weights follow the input dtype (models/vr_nets.py), so a
+                # bf16 input runs the whole cascade in bf16; mask back in fp32.
+                def fn(params, x):
+                    return base(params, x.astype(jnp.bfloat16)).astype(jnp.float32)
+            else:
+                fn = base
             self._jit_predict = jax.jit(fn)
         return np.asarray(self._jit_predict(self._params, jnp.asarray(batch)))
 

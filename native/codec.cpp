@@ -74,6 +74,10 @@ bool open_decoder(const char* path, int target_sr, int target_channels,
   if (!d.codec) { set_error("codec alloc failed"); return false; }
   err = avcodec_parameters_to_context(d.codec, st->codecpar);
   if (err < 0) { set_error("codec params", err); return false; }
+  // Single-threaded decode: this library is called from one Python thread and
+  // shares a heap with heavyweight runtimes (XLA, torch); libav's internal
+  // frame-threading buys nothing here and removes a class of heap races.
+  d.codec->thread_count = 1;
   err = avcodec_open2(d.codec, dec, nullptr);
   if (err < 0) { set_error("codec open", err); return false; }
 

@@ -157,3 +157,29 @@ def test_mdx_denoise_mode(mdx_model, tmp_path):
     out = sep.demix(mix)
     assert out.shape == mix.shape
     assert np.isfinite(out).all()
+
+
+def test_mdx_autocast_close_to_fp32(mdx_model):
+    """use_autocast runs the conv U-Net in bf16; output stays close to fp32."""
+    from audio_separator_tpu.architectures.mdx import MDXSeparator
+
+    model, onnx_path, model_data = mdx_model
+    mk = lambda autocast: MDXSeparator(
+        common_config={
+            "logger": logging.getLogger("test"),
+            "model_name": "UVR_test_mdx", "model_path": onnx_path,
+            "model_data": model_data, "output_dir": "/tmp/mdx_ac",
+            "output_format": "WAV", "normalization_threshold": 0.9,
+            "amplification_threshold": 0.0, "sample_rate": 44100,
+            "use_autocast": autocast,
+        },
+        arch_config={"hop_length": HOP, "segment_size": SEGMENT,
+                     "overlap": 0.25, "batch_size": 2, "enable_denoise": False})
+
+    rng = np.random.default_rng(5)
+    mix = (rng.standard_normal((2, 44100)) * 0.1).astype(np.float32)
+    full = mk(False).demix(mix)
+    half = mk(True).demix(mix)
+    assert np.isfinite(half).all()
+    rel = np.abs(half - full).max() / max(np.abs(full).max(), 1e-6)
+    assert rel < 0.1, f"bf16 deviates too much: {rel}"
