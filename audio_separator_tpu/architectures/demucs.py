@@ -178,7 +178,7 @@ class DemucsSeparator(BaseSeparator):
                     model_fn, mix[:, :pad_len], segment, stride, tri_full,
                     num_stems=n_sources, batch_size=self.batch_size,
                     positions=np.asarray(full, dtype=np.int32),
-                    model_params=params)
+                    model_params=params, mesh=getattr(self, 'mesh', None))
                 # engine divides by its own divider; rebuild weighted sums
                 div = np.zeros(pad_len, np.float32)
                 for o in full:
@@ -222,6 +222,6 @@ class DemucsSeparator(BaseSeparator):
             num_stems=n_sources, batch_size=self.batch_size,
             positions=np.asarray(positions, dtype=np.int32),
             divider=divider,
-            model_params=params,
+            model_params=params, mesh=getattr(self, 'mesh', None),
         )
         return out[..., pad_lead : pad_lead + length]

@@ -132,7 +132,7 @@ class MDXSeparator(BaseSeparator):
             self._model_fn(is_match_mix), mixture, chunk_size, step, windows,
             num_stems=1, batch_size=max(1, int(self.batch_size)),
             positions=positions, divider=divider,
-            model_params=self._onnx_params,
+            model_params=self._onnx_params, mesh=self.mesh,
         )
         tar_waves = out[0][:, self.trim : -self.trim][:, : mix.shape[-1]]
         return tar_waves

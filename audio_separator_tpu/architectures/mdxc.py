@@ -215,7 +215,7 @@ class MDXCSeparator(BaseSeparator):
             out = overlap_add_demix(
                 self._model_fn(), mix, chunk, step, window,
                 num_stems=num_stems, batch_size=max(1, int(self.batch_size)),
-                model_params=self.params,
+                model_params=self.params, mesh=self.mesh,
             )
         else:
             hop_length = int(audio_section.get("hop_length", 1024))
@@ -261,7 +261,7 @@ class MDXCSeparator(BaseSeparator):
             self._model_fn(), padded, chunk, hop_size, window,
             num_stems=num_stems, batch_size=max(1, int(self.batch_size)),
             positions=positions,
-            model_params=self.params,
+            model_params=self.params, mesh=self.mesh,
         )
         # Reference divides by self.overlap; with uniform windows the divider
         # equals the per-sample overlap count, matching in the steady state and

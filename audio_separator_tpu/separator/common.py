@@ -74,6 +74,9 @@ class BaseSeparator:
         self.sample_rate = int(config.get("sample_rate", 44100))
         self.use_soundfile = config.get("use_soundfile", False)
         self.use_autocast = config.get("use_autocast", False)
+        # Optional jax.sharding.Mesh for multi-chip chunk-batch DP (demix
+        # engine shards each window batch over the mesh "data" axis).
+        self.mesh = config.get("mesh")
 
         # Stem resolution (ref: common_separator.py:103-125).
         self.primary_stem_name: Optional[str] = None

@@ -86,6 +86,7 @@ class Separator:
         ensemble_preset=None,
         info_only=False,
         trace_dir=None,
+        use_mesh=False,
     ):
         self.logger = logging.getLogger(__name__)
         self.logger.setLevel(log_level)
@@ -131,6 +132,7 @@ class Separator:
         self.use_autocast = use_autocast
         self.chunk_duration = chunk_duration
         self.trace_dir = trace_dir
+        self.use_mesh = use_mesh
 
         # Ensemble configuration (ref: separator.py:227-238).
         self.ensemble_algorithm = ensemble_algorithm
@@ -176,6 +178,29 @@ class Separator:
             self.setup_inferencing_device()
 
     # ----------------------------------------------------------------- device
+
+    def _resolve_mesh(self):
+        """Build the chunk-DP device mesh when multi-chip execution is on.
+
+        ``use_mesh=True`` → all local devices on a pure-data mesh (the demix
+        engine shards each window batch across them, SURVEY §2.8 mapping); a
+        ``jax.sharding.Mesh`` instance is passed through as-is for custom
+        dp×tp layouts. Single-device → None (no sharding machinery).
+        """
+        if not self.use_mesh:
+            return None
+        if self.use_mesh is not True:  # caller-provided Mesh
+            return self.use_mesh
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        if len(jax.devices()) <= 1:
+            self.logger.debug("use_mesh requested but only one device present")
+            return None
+        mesh = make_mesh()
+        self.logger.info(f"demixing over device mesh {dict(mesh.shape)}")
+        return mesh
 
     def setup_inferencing_device(self):
         """Select the JAX device (TPU if available, else CPU) — replaces the
@@ -286,6 +311,7 @@ class Separator:
             "sample_rate": self.sample_rate,
             "use_soundfile": self.use_soundfile,
             "use_autocast": self.use_autocast,
+            "mesh": self._resolve_mesh(),
         }
 
         separator_classes = {

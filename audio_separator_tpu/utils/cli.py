@@ -64,6 +64,9 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
                         help="Use bfloat16 mixed precision for faster inference.")
     common.add_argument("--chunk_duration", type=float, default=None,
                         help="Split audio into chunks of this many seconds for processing.")
+    common.add_argument("--use_mesh", action="store_true",
+                        help="Shard demix chunk batches across all local TPU chips "
+                             "(data-parallel device mesh).")
     common.add_argument("--trace_dir", default=None,
                         help="Capture a jax profiler device trace of each separation "
                              "into this directory (TensorBoard-loadable).")
@@ -206,6 +209,7 @@ def main(argv=None):
         use_autocast=args.use_autocast,
         chunk_duration=args.chunk_duration,
         trace_dir=args.trace_dir,
+        use_mesh=args.use_mesh,
         ensemble_algorithm=args.ensemble_algorithm,
         ensemble_weights=args.ensemble_weights,
         ensemble_preset=args.ensemble_preset,

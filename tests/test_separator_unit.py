@@ -150,3 +150,26 @@ def test_stem_name_map_canonicalisation():
     assert STEM_NAME_MAP["no_vocals"] == "Instrumental"
     assert STEM_NAME_MAP["karaoke"] == "Instrumental"
     assert STEM_NAME_MAP["drums"] == "Drums"
+
+
+def test_use_mesh_resolves_device_mesh():
+    """Separator(use_mesh=True) builds a data-parallel mesh over local devices
+    and threads it to architecture separators via common_params."""
+    from audio_separator_tpu.separator import Separator
+
+    sep = Separator(use_mesh=True, info_only=True)
+    mesh = sep._resolve_mesh()
+    assert mesh is not None and mesh.shape["data"] >= 2
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    assert isinstance(mesh, Mesh)
+
+    # explicit Mesh passes through unchanged
+    sep2 = Separator(use_mesh=mesh, info_only=True)
+    assert sep2._resolve_mesh() is mesh
+
+    # off by default
+    sep3 = Separator(info_only=True)
+    assert sep3._resolve_mesh() is None
