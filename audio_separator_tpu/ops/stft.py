@@ -92,6 +92,59 @@ def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return out[..., : frame_len + hop * (num_frames - 1)]
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(n_fft: int):
+    """Real/imag rfft matrices: X = frames @ (C - iS).
+
+    On TPU the MXU evaluates a 2048-point DFT-as-matmul faster than the XLA
+    FFT lowering at these batch sizes; selected via AUDSEP_STFT_IMPL=matmul.
+    """
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_matrices(n_fft: int):
+    """Real/imag irfft matrices: x = Re @ Cw + Im @ Sw (Hermitian fold-in)."""
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    c = np.full((n_bins, 1), 2.0)
+    c[0] = 1.0
+    if n_fft % 2 == 0:
+        c[-1] = 1.0
+    return (jnp.asarray(c * np.cos(ang) / n_fft, jnp.float32),
+            jnp.asarray(-c * np.sin(ang) / n_fft, jnp.float32))
+
+
+def _stft_impl() -> str:
+    import os
+
+    return os.environ.get("AUDSEP_STFT_IMPL", "fft")
+
+
+def _rfft_frames(frames: jnp.ndarray) -> jnp.ndarray:
+    """rfft over the last axis, impl-switchable ((..., T, n_fft) → complex)."""
+    if _stft_impl() == "matmul":
+        cos_m, sin_m = _dft_matrices(frames.shape[-1])
+        f32 = frames.astype(jnp.float32)
+        return jax.lax.complex(f32 @ cos_m, -(f32 @ sin_m))
+    return jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+
+
+def _irfft_frames(spec: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """irfft over the last axis ((..., T, n_bins) → (..., T, n_fft))."""
+    if _stft_impl() == "matmul":
+        cos_m, sin_m = _idft_matrices(n_fft)
+        return (spec.real.astype(jnp.float32) @ cos_m
+                + spec.imag.astype(jnp.float32) @ sin_m)
+    return jnp.fft.irfft(spec, n=n_fft, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "pad_mode", "center"))
 def stft(
     x: jnp.ndarray,
@@ -113,7 +166,7 @@ def stft(
         p = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)], mode=pad_mode)
     frames = frame_signal(x, n_fft, hop) * window
-    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    spec = _rfft_frames(frames)
     return jnp.swapaxes(spec, -1, -2)
 
 
@@ -134,7 +187,7 @@ def istft(
       ``(..., L)`` real signal with ``L = hop * (T - 1)`` for ``center=True``
       (or ``length`` if given).
     """
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = _irfft_frames(jnp.swapaxes(spec, -1, -2), n_fft)
     num_frames = frames.shape[-2]
     y = overlap_add(frames * window, hop)
     # Least-squares normalisation by the summed squared-window envelope.

@@ -104,3 +104,28 @@ def test_packed_istft_roundtrip():
     ref = torch.istft(spec, n_fft=n_fft, hop_length=hop, window=win_t, center=True)
     ref = ref.reshape(1, 2, -1).numpy()
     np.testing.assert_allclose(y[..., : ref.shape[-1]], ref, atol=5e-4)
+
+
+def test_matmul_dft_matches_fft(monkeypatch):
+    """AUDSEP_STFT_IMPL=matmul evaluates the same transform on the MXU."""
+    import numpy as np
+
+    from audio_separator_tpu.ops import stft as stft_mod
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    win = stft_mod.hann_window(1024)
+
+    spec_fft = np.asarray(stft_mod.stft(jnp.asarray(x), 1024, 256, win))
+    monkeypatch.setenv("AUDSEP_STFT_IMPL", "matmul")
+    stft_mod.stft.clear_cache()
+    stft_mod.istft.clear_cache()
+    try:
+        spec_mm = np.asarray(stft_mod.stft(jnp.asarray(x), 1024, 256, win))
+        np.testing.assert_allclose(spec_mm, spec_fft, atol=2e-4)
+        y = np.asarray(stft_mod.istft(jnp.asarray(spec_mm), 1024, 256, win))
+        np.testing.assert_allclose(y, x[:, : y.shape[-1]], atol=2e-4)
+    finally:
+        monkeypatch.delenv("AUDSEP_STFT_IMPL")
+        stft_mod.stft.clear_cache()
+        stft_mod.istft.clear_cache()
