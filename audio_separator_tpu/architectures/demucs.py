@@ -51,10 +51,13 @@ class DemucsSeparator(BaseSeparator):
         self.segments_enabled = arch_config.get("segments_enabled", True)
         self.batch_size = int(arch_config.get("batch_size", 1) or 1)
         self.compute_dtype = jnp.float32  # demucs is precision-sensitive
+        self._models_cache = None  # (models_with_device_params, weights)
 
     # ------------------------------------------------------------------ model
 
     def _load_models(self):
+        if self._models_cache is not None:
+            return self._models_cache
         repo_dir = os.path.dirname(self.model_path)
         models, weights, segment = load_demucs_model_or_bag(self.model_path, repo_dir)
         # CLI segment override (ref: apply.demucs_segments:263-294)
@@ -68,7 +71,11 @@ class DemucsSeparator(BaseSeparator):
         elif segment is not None:
             models = [(cfg.__class__(**{**cfg.__dict__, "segment": float(segment)}), p)
                       for cfg, p in models]
-        return models, weights
+        # Device-resident weights once per model instance — a bag re-upload
+        # per separated file costs seconds/track at hundreds of MB of weights.
+        models = [(cfg, jax.device_put(p)) for cfg, p in models]
+        self._models_cache = (models, weights)
+        return self._models_cache
 
     # --------------------------------------------------------------- separate
 
@@ -109,8 +116,7 @@ class DemucsSeparator(BaseSeparator):
         totals = [0.0] * n_sources
         rng = np.random.default_rng(0)
         for (cfg, params), weight in zip(models, weights):
-            device_params = jax.device_put(params)
-            out = self._apply_one(cfg, device_params, norm, rng)
+            out = self._apply_one(cfg, params, norm, rng)
             for k, w in enumerate(weight):
                 out[k] *= w
                 totals[k] += w
