@@ -124,3 +124,41 @@ def test_mdxc_separator_end_to_end(synthetic_model, fixtures_dir, tmp_path):
     assert err < 2e-3, f"relative error {err}"
     # residual secondary
     np.testing.assert_allclose(got_sources["other"], norm_mix - got, atol=1e-6)
+
+
+def test_mdxc_pitch_shift_path(synthetic_model, tmp_path):
+    """pitch_shift != 0 takes the resample-trick path (demix at shifted rate,
+    restore with _pitch_fix, ref: mdxc_separator.py:230-270) and still returns
+    full-length stems close to the unshifted separation."""
+    from audio_separator_tpu.architectures.mdxc import MDXCSeparator
+
+    _oracle, ckpt_path, model_data, _tmp = synthetic_model
+
+    def build(semitones):
+        return MDXCSeparator(
+            common_config={
+                "logger": logging.getLogger("test"),
+                "model_name": "test_mel_band_roformer",
+                "model_path": ckpt_path, "model_data": model_data,
+                "output_dir": str(tmp_path), "output_format": "WAV",
+                "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+                "sample_rate": SR,
+            },
+            arch_config={"segment_size": 256, "override_model_segment_size": False,
+                         "batch_size": 2, "overlap": 2, "pitch_shift": semitones})
+
+    rng = np.random.default_rng(11)
+    t = np.arange(SR * 2) / SR
+    mix = np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 330 * t)]
+                   ).astype(np.float32) * 0.3
+
+    plain = build(0).demix(mix)
+    shifted = build(2).demix(mix)
+    assert isinstance(plain, dict) and isinstance(shifted, dict)
+    for key in plain:
+        assert shifted[key].shape == plain[key].shape, key
+        assert np.isfinite(shifted[key]).all()
+        # same model, mild pitch trick: outputs correlate strongly
+        a, b = plain[key].ravel(), shifted[key].ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.5, (key, corr)
