@@ -99,9 +99,99 @@ class AudioInfo:
     bits_per_sample: int
 
 
+# ---------------------------------------------------------------------------
+# Subprocess codec path: same native code, own heap. Selected with
+# AUDSEP_CODEC_SUBPROCESS=1 — used by the test suite to isolate decodes from
+# an upstream in-process allocator bug, and available wherever heap isolation
+# is worth ~20 ms per call.
+
+_CLI_NAME = "audsep_codec"
+_cli_path: Optional[str] = None
+
+
+def _codec_cli() -> Optional[str]:
+    global _cli_path
+    if _cli_path is not None:
+        return _cli_path or None
+    path = os.path.join(_HERE, _CLI_NAME)
+    if not os.path.exists(path):
+        src = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native", "codec.cpp")
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-DAUDSEP_CLI", src,
+                 "-lavformat", "-lavcodec", "-lavutil", "-lswresample", "-o", path],
+                check=True, capture_output=True, timeout=180)
+        except Exception:
+            _cli_path = ""
+            return None
+    _cli_path = path
+    return path
+
+
+def _use_subprocess() -> bool:
+    return bool(os.environ.get("AUDSEP_CODEC_SUBPROCESS")) and _codec_cli() is not None
+
+
+def _probe_subprocess(path: str) -> AudioInfo:
+    out = subprocess.run([_codec_cli(), "probe", path],
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        raise RuntimeError(f"probe failed for {path}: {out.stderr.strip()}")
+    sr, ch, frames, bits = out.stdout.split()
+    return AudioInfo(int(sr), int(ch), int(frames), int(bits))
+
+
+def _load_subprocess(path: str, sample_rate, channels):
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as tf:
+        raw = tf.name
+    try:
+        out = subprocess.run(
+            [_codec_cli(), "decode", path, str(sample_rate or 0),
+             str(channels or 0), raw], capture_output=True, text=True)
+        if out.returncode != 0:
+            raise RuntimeError(f"decode failed for {path}: {out.stderr.strip()}")
+        with open(raw, "rb") as f:
+            header = np.fromfile(f, dtype=np.int64, count=1)
+            meta = np.fromfile(f, dtype=np.int32, count=2)
+            frames, ch, sr = int(header[0]), int(meta[0]), int(meta[1])
+            data = np.fromfile(f, dtype=np.float32, count=frames * ch)
+        pcm = data.reshape(frames, ch).T
+        return np.ascontiguousarray(pcm), sr
+    finally:
+        try:
+            os.unlink(raw)
+        except OSError:
+            pass
+
+
+def _save_subprocess(path: str, interleaved: np.ndarray, sample_rate: int,
+                     fmt: str, bit_depth: int, bitrate_kbps: int) -> None:
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as tf:
+        raw = tf.name
+        interleaved.astype("<f4").tofile(tf)
+    try:
+        out = subprocess.run(
+            [_codec_cli(), "encode", path, raw, str(interleaved.shape[0]),
+             str(interleaved.shape[1]), str(sample_rate), fmt,
+             str(bit_depth), str(bitrate_kbps)], capture_output=True, text=True)
+        if out.returncode != 0:
+            raise RuntimeError(f"encode failed for {path}: {out.stderr.strip()}")
+    finally:
+        try:
+            os.unlink(raw)
+        except OSError:
+            pass
+
+
 def probe(path: str) -> AudioInfo:
     """Stream properties without a full decode (bit-depth preservation,
     ref: common_separator.py:260-282)."""
+    if _use_subprocess():
+        return _probe_subprocess(path)
     lib = _load_lib()
     if lib is None:
         return _probe_wav(path)
@@ -127,6 +217,8 @@ def load_audio(
     when requested — equivalent to ``librosa.load(..., sr=..., mono=False)``
     in the reference's ``prepare_mix``.
     """
+    if _use_subprocess():
+        return _load_subprocess(path, sample_rate, channels)
     lib = _load_lib()
     if lib is None:
         return _load_wav(path, sample_rate, channels)
@@ -165,6 +257,10 @@ def save_audio(
         pcm = pcm[None, :]
     fmt = (output_format or os.path.splitext(path)[1].lstrip(".") or "wav").lower()
     interleaved = np.ascontiguousarray(pcm.T, dtype=np.float32)
+    if _use_subprocess() and fmt != "wav":
+        _save_subprocess(path, interleaved, sample_rate, fmt, bit_depth,
+                         bitrate_kbps)
+        return
     lib = _load_lib()
     if lib is None or fmt == "wav":
         if fmt == "wav":

@@ -1,5 +1,6 @@
 #!/bin/sh
-# Build the native codec shared library into the Python package.
+# Build the native codec: shared library (in-process ctypes path) and the
+# subprocess CLI (heap-isolated path, AUDSEP_CODEC_SUBPROCESS=1).
 set -e
 cd "$(dirname "$0")"
 OUT=../audio_separator_tpu/io/libaudsep_codec.so
@@ -7,3 +8,8 @@ g++ -O2 -fPIC -shared -std=c++17 codec.cpp \
     -lavformat -lavcodec -lavutil -lswresample \
     -o "$OUT"
 echo "built $OUT"
+CLI=../audio_separator_tpu/io/audsep_codec
+g++ -O2 -std=c++17 -DAUDSEP_CLI codec.cpp \
+    -lavformat -lavcodec -lavutil -lswresample \
+    -o "$CLI"
+echo "built $CLI"

@@ -427,3 +427,83 @@ int as_encode(const char* path, const float* data, long long frames,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Optional CLI build (-DAUDSEP_CLI): the same codec as a tiny subprocess for
+// heap isolation. Used by the test suite (an upstream allocator bug corrupts
+// long in-process sessions; see tests/conftest.py) and available in
+// production via AUDSEP_CODEC_SUBPROCESS=1.
+//
+//   audsep_codec probe  <path>
+//       -> stdout: "<sr> <ch> <frames> <bits>"
+//   audsep_codec decode <path> <target_sr|0> <target_ch|0> <out.raw>
+//       -> out.raw: int64 frames, int32 ch, int32 sr, then f32 interleaved
+//   audsep_codec encode <path> <in.raw> <frames> <ch> <sr> <fmt> <depth> <kbps>
+//       -> in.raw: f32 interleaved
+
+#ifdef AUDSEP_CLI
+#include <cstdio>
+#include <cstdlib>
+
+int main(int argc, char** argv) {
+  if (argc < 3) { fprintf(stderr, "usage: %s probe|decode|encode ...\n", argv[0]); return 2; }
+  std::string cmd = argv[1];
+  if (cmd == "probe") {
+    int sr = 0, ch = 0, bits = 0;
+    long long frames = 0;
+    if (as_probe(argv[2], &sr, &ch, &frames, &bits) != 0) {
+      fprintf(stderr, "%s\n", as_last_error());
+      return 1;
+    }
+    printf("%d %d %lld %d\n", sr, ch, frames, bits);
+    return 0;
+  }
+  if (cmd == "decode") {
+    if (argc != 6) { fprintf(stderr, "decode args\n"); return 2; }
+    float* data = nullptr;
+    long long frames = 0;
+    int ch = 0, sr = 0;
+    if (as_decode(argv[2], atoi(argv[3]), atoi(argv[4]), &data, &frames, &ch, &sr) != 0) {
+      fprintf(stderr, "%s\n", as_last_error());
+      return 1;
+    }
+    FILE* f = fopen(argv[5], "wb");
+    if (!f) { fprintf(stderr, "cannot open %s\n", argv[5]); return 1; }
+    int64_t fr64 = frames;
+    int32_t ch32 = ch, sr32 = sr;
+    fwrite(&fr64, sizeof(fr64), 1, f);
+    fwrite(&ch32, sizeof(ch32), 1, f);
+    fwrite(&sr32, sizeof(sr32), 1, f);
+    fwrite(data, sizeof(float), (size_t)frames * ch, f);
+    fclose(f);
+    as_free(data);
+    return 0;
+  }
+  if (cmd == "encode") {
+    if (argc != 10) { fprintf(stderr, "encode args\n"); return 2; }
+    const char* out_path = argv[2];
+    const char* raw_path = argv[3];
+    long long frames = atoll(argv[4]);
+    int ch = atoi(argv[5]);
+    int sr = atoi(argv[6]);
+    const char* fmtname = argv[7];
+    int depth = atoi(argv[8]);
+    int kbps = atoi(argv[9]);
+    FILE* f = fopen(raw_path, "rb");
+    if (!f) { fprintf(stderr, "cannot open %s\n", raw_path); return 1; }
+    size_t count = (size_t)frames * ch;
+    float* data = (float*)malloc(count * sizeof(float));
+    if (!data || fread(data, sizeof(float), count, f) != count) {
+      fprintf(stderr, "raw read failed\n");
+      return 1;
+    }
+    fclose(f);
+    int rc = as_encode(out_path, data, frames, ch, sr, fmtname, depth, kbps);
+    if (rc != 0) fprintf(stderr, "%s\n", as_last_error());
+    free(data);
+    return rc == 0 ? 0 : 1;
+  }
+  fprintf(stderr, "unknown command %s\n", cmd.c_str());
+  return 2;
+}
+#endif  // AUDSEP_CLI

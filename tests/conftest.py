@@ -46,6 +46,10 @@ if (sys.platform == "linux"
     os.execve(sys.executable,
               [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
+# Heap-isolate native decodes/encodes from the in-process allocator bug
+# (the corruption victim was always the next in-process libav free).
+os.environ.setdefault("AUDSEP_CODEC_SUBPROCESS", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
