@@ -93,3 +93,38 @@ def test_ensemble_two_local_models_end_to_end(tmp_path):
     pcm, sr = audio_io.load_audio(voc)
     assert sr == SR and np.isfinite(pcm).all()
     assert pcm.shape[1] >= SR * 2 - HOP
+
+
+def test_chunked_processing_end_to_end(tmp_path):
+    """chunk_duration splits, separates each chunk, and merges stems
+    (ref: separator.py:1047-1156 + audio_chunking.py) — real model, no mocks."""
+    from audio_separator_tpu.separator import Separator
+
+    model_dir = str(tmp_path / "models")
+    os.makedirs(model_dir)
+    m1 = _make_model(model_dir, "gamma", seed=3)
+
+    t = np.arange(SR * 4) / SR  # 4 s split into 2 s chunks
+    mix = np.stack([np.sin(2 * np.pi * 220 * t),
+                    np.sin(2 * np.pi * 550 * t)]).astype(np.float32) * 0.3
+    in_path = str(tmp_path / "long.wav")
+    audio_io.save_audio(in_path, mix, SR)
+
+    out_dir = str(tmp_path / "out")
+    sep = Separator(
+        log_level=logging.WARNING,
+        model_file_dir=model_dir,
+        output_dir=out_dir,
+        output_format="WAV",
+        chunk_duration=2.0,
+    )
+    sep.load_model(m1)
+    outputs = sep.separate(in_path)
+    assert len(outputs) == 2
+    for p in outputs:
+        full = p if os.path.isabs(p) else os.path.join(out_dir, os.path.basename(p))
+        pcm, sr = audio_io.load_audio(full)
+        assert sr == SR
+        # merged output covers the whole 4 s (chunk merge, not one chunk)
+        assert pcm.shape[1] >= SR * 4 - SR // 2, (p, pcm.shape)
+        assert np.isfinite(pcm).all()
