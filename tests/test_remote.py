@@ -102,3 +102,43 @@ def test_health_models_and_job_flow(http_server, tmp_path, monkeypatch, fixtures
 
     resp = requests.get(f"{url}/status/nope", timeout=10)
     assert resp.status_code == 404
+
+
+def test_remote_real_separation_end_to_end(tmp_path):
+    """Full remote stack with a REAL model: upload → worker separates with a
+    local synthetic checkpoint → poll → download stems (no mocks)."""
+    import numpy as np
+
+    from audio_separator_tpu.io import audio as audio_io
+    from test_ensemble_e2e import SR, _make_model
+
+    model_dir = str(tmp_path / "models")
+    os.makedirs(model_dir)
+    model_name = _make_model(model_dir, "remote", seed=9)
+
+    server = serve(host="127.0.0.1", port=0, work_dir=str(tmp_path / "work"),
+                   model_file_dir=model_dir)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        client = AudioSeparatorAPIClient(url)
+
+        t = np.arange(SR) / SR
+        mix = np.stack([np.sin(2 * np.pi * 440 * t),
+                        np.sin(2 * np.pi * 330 * t)]).astype(np.float32) * 0.3
+        in_path = str(tmp_path / "song.wav")
+        audio_io.save_audio(in_path, mix, SR)
+
+        result = client.separate_audio_and_wait(
+            file_path=in_path, model=model_name,
+            output_dir=str(tmp_path / "dl"), timeout=300, poll_interval=1)
+        files = result.get("downloaded_files")
+        assert files, result
+        assert len(files) == 2
+        for f in files:
+            path = f if os.path.isabs(f) else os.path.join(str(tmp_path / "dl"), f)
+            pcm, sr = audio_io.load_audio(path)
+            assert sr == SR and np.isfinite(pcm).all()
+    finally:
+        server.shutdown()
