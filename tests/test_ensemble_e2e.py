@@ -128,3 +128,39 @@ def test_chunked_processing_end_to_end(tmp_path):
         # merged output covers the whole 4 s (chunk merge, not one chunk)
         assert pcm.shape[1] >= SR * 4 - SR // 2, (p, pcm.shape)
         assert np.isfinite(pcm).all()
+
+
+def test_cli_end_to_end_with_real_model(tmp_path, monkeypatch, capsys):
+    """Full CLI surface → facade → model → written stems, no mocks
+    (the reference's integration tier runs the same flow on GPU CI)."""
+    import sys
+
+    from audio_separator_tpu.utils import cli
+
+    model_dir = str(tmp_path / "models")
+    os.makedirs(model_dir)
+    model = _make_model(model_dir, "cli", seed=4)
+
+    t = np.arange(SR) / SR
+    mix = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 330 * t)]).astype(np.float32) * 0.3
+    in_path = str(tmp_path / "song.wav")
+    audio_io.save_audio(in_path, mix, SR)
+    out_dir = str(tmp_path / "out")
+
+    monkeypatch.setattr(sys, "argv", [
+        "audio-separator", in_path,
+        "-m", model,
+        "--model_file_dir", model_dir,
+        "--output_dir", out_dir,
+        "--output_format", "FLAC",
+        "--log_level", "warning",
+    ])
+    cli.main()
+
+    written = os.listdir(out_dir)
+    assert len(written) == 2, written
+    assert all(w.lower().endswith(".flac") for w in written)
+    for w in written:
+        pcm, sr = audio_io.load_audio(os.path.join(out_dir, w))
+        assert sr == SR and np.isfinite(pcm).all()
