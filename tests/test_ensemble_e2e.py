@@ -164,3 +164,29 @@ def test_cli_end_to_end_with_real_model(tmp_path, monkeypatch, capsys):
     for w in written:
         pcm, sr = audio_io.load_audio(os.path.join(out_dir, w))
         assert sr == SR and np.isfinite(pcm).all()
+
+
+def test_single_stem_and_custom_names_end_to_end(tmp_path):
+    """output_single_stem writes exactly one file; custom_output_names renames
+    it (ref: separator.py output_single_stem + common_separator.py:489-507)."""
+    from audio_separator_tpu.separator import Separator
+
+    model_dir = str(tmp_path / "models")
+    os.makedirs(model_dir)
+    model = _make_model(model_dir, "solo", seed=5)
+
+    t = np.arange(SR) / SR
+    mix = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 330 * t)]).astype(np.float32) * 0.3
+    in_path = str(tmp_path / "song.wav")
+    audio_io.save_audio(in_path, mix, SR)
+
+    out_dir = str(tmp_path / "out")
+    sep = Separator(log_level=logging.WARNING, model_file_dir=model_dir,
+                    output_dir=out_dir, output_format="WAV",
+                    output_single_stem="vocals")
+    sep.load_model(model)
+    outputs = sep.separate(in_path, custom_output_names={"Vocals": "lead take 1"})
+    assert len(outputs) == 1
+    assert os.path.basename(outputs[0]) == "lead take 1.wav"
+    assert os.path.exists(os.path.join(out_dir, "lead take 1.wav"))
