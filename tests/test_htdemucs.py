@@ -170,3 +170,65 @@ def test_demucs_split_matches_direct_apply(oracle_pair):
     ref = out / sum_w
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, atol=1e-3 * max(scale, 1e-3), rtol=0)
+
+
+def test_demucs_six_stem_end_to_end(tmp_path):
+    """htdemucs_6s-style bag: 6 sources map to Guitar/Piano stems too
+    (ref: demucs_separator.py:12-23,133-145)."""
+    import logging
+    import sys
+
+    import yaml as yaml_mod
+
+    from audio_separator_tpu.architectures.demucs import DemucsSeparator
+    from audio_separator_tpu.models.demucs_load import _ensure_stub_modules
+    from torch_oracles.htdemucs_oracle import HTDemucsOracle
+
+    sources = ("drums", "bass", "other", "vocals", "guitar", "piano")
+    torch.manual_seed(21)
+    oracle = HTDemucsOracle(sources, channels=8, nfft=1024, depth=3,
+                            t_layers=2, t_heads=4, segment=0.5).eval()
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+
+    _ensure_stub_modules()
+    fake_klass = sys.modules["demucs.htdemucs"].HTDemucs
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    package = {
+        "klass": fake_klass,
+        "args": (),
+        "kwargs": {"sources": list(sources), "channels": 8, "nfft": 1024,
+                   "depth": 3, "t_layers": 2, "t_heads": 4, "segment": 0.5},
+        "state": oracle.state_dict(),
+    }
+    torch.save(package, repo / "sixstem01.th")
+    with open(repo / "htdemucs_6s_test.yaml", "w") as f:
+        yaml_mod.safe_dump({"models": ["sixstem01"], "weights": [[1.0] * 6]}, f)
+
+    out_dir = str(tmp_path / "out")
+    sep = DemucsSeparator(
+        common_config={
+            "logger": logging.getLogger("test"),
+            "model_name": "htdemucs_6s_test",
+            "model_path": str(repo / "htdemucs_6s_test.yaml"),
+            "model_data": {"primary_stem": "Vocals"},
+            "output_dir": out_dir, "output_format": "WAV",
+            "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+            "sample_rate": 44100,
+        },
+        arch_config={"segment_size": "Default", "shifts": 0, "overlap": 0.25,
+                     "segments_enabled": True, "batch_size": 2})
+
+    rng = np.random.default_rng(0)
+    mix = (rng.standard_normal((2, 44100)) * 0.1).astype(np.float32)
+    short = str(tmp_path / "short.wav")
+    from audio_separator_tpu.io import audio as audio_io
+    audio_io.save_audio(short, mix, 44100)
+
+    outputs = sep.separate(short)
+    assert len(outputs) == 6
+    names = "".join(outputs)
+    for stem in ("Vocals", "Drums", "Bass", "Other", "Guitar", "Piano"):
+        assert stem in names, names
