@@ -228,7 +228,7 @@ def cached_convert(ckpt_path: str, cfg, converter, cache_dir: str | None = None)
     to the checkpoint (or in cache_dir) keyed by file size + mtime."""
     st = os.stat(ckpt_path)
     base = os.path.basename(ckpt_path)
-    cache_name = f"{base}.{st.st_size}.jax.npz"
+    cache_name = f"{base}.{st.st_size}.{int(st.st_mtime)}.jax.npz"
     cache_path = os.path.join(cache_dir or os.path.dirname(ckpt_path), cache_name)
     if os.path.exists(cache_path):
         try:

@@ -66,8 +66,12 @@ class FileJobStore(InMemoryJobStore):
 
     def set_job_status(self, task_id: str, status_data: dict) -> None:
         super().set_job_status(task_id, status_data)
-        with open(self._path(task_id), "w", encoding="utf-8") as f:
-            json.dump(status_data, f)
+        with self._lock:
+            # Persist the stamped copy so age-based cleanup works after a
+            # restart (files without _updated_at would never expire).
+            data = dict(self._jobs.get(task_id, status_data))
+            with open(self._path(task_id), "w", encoding="utf-8") as f:
+                json.dump(data, f)
 
     def get_job_status(self, task_id: str) -> Optional[dict]:
         data = super().get_job_status(task_id)
@@ -80,9 +84,21 @@ class FileJobStore(InMemoryJobStore):
             return None
 
     def update_job_status(self, task_id: str, updates: dict) -> None:
-        data = self.get_job_status(task_id) or {}
-        data.update(updates)
-        self.set_job_status(task_id, data)
+        # Atomic read-modify-write: concurrent progress updates from worker
+        # threads must not drop each other's fields.
+        with self._lock:
+            job = self._jobs.get(task_id)
+            if job is None:  # post-restart: rehydrate from disk
+                try:
+                    with open(self._path(task_id), encoding="utf-8") as f:
+                        job = json.load(f)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    job = {}
+                self._jobs[task_id] = job
+            job.update(updates)
+            job["_updated_at"] = time.time()
+            with open(self._path(task_id), "w", encoding="utf-8") as f:
+                json.dump(job, f)
 
     def delete_job(self, task_id: str) -> None:
         super().delete_job(task_id)
@@ -90,3 +106,21 @@ class FileJobStore(InMemoryJobStore):
             os.remove(self._path(task_id))
         except FileNotFoundError:
             pass
+
+    def cleanup_old_jobs(self, max_age_seconds: float = 86400.0) -> int:
+        removed = super().cleanup_old_jobs(max_age_seconds)
+        # Also sweep on-disk jobs from previous processes.
+        cutoff = time.time() - max_age_seconds
+        for name in os.listdir(self.root):
+            if not name.endswith(".json"):
+                continue
+            path = os.path.join(self.root, name)
+            try:
+                with open(path, encoding="utf-8") as f:
+                    stamp = json.load(f).get("_updated_at", os.path.getmtime(path))
+                if stamp < cutoff:
+                    os.remove(path)
+                    removed += 1
+            except (OSError, json.JSONDecodeError):
+                continue
+        return removed

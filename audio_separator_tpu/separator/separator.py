@@ -436,10 +436,12 @@ class Separator:
                     self.model_instance.output_dir = temp_dir
                 try:
                     outputs = self._separate_file(chunk_path)
-                    for stem_path in outputs:
+                    for stem_index, stem_path in enumerate(outputs):
                         filename = os.path.basename(stem_path)
                         match = re.search(r"_\(([^)]+)\)", filename)
-                        stem_name = match.group(1) if match else f"stem_{len(chunks_by_stem)}"
+                        # Positional fallback keys stay stable across chunks so
+                        # unmatched outputs still merge per stem.
+                        stem_name = match.group(1) if match else f"stem_{stem_index}"
                         abs_path = (stem_path if os.path.isabs(stem_path)
                                     else os.path.join(temp_dir, stem_path))
                         chunks_by_stem.setdefault(stem_name, []).append(abs_path)

@@ -105,7 +105,8 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
     demucs.add_argument("--demucs_segment_size", type=str, default="Default")
     demucs.add_argument("--demucs_shifts", type=int, default=2)
     demucs.add_argument("--demucs_overlap", type=float, default=0.25)
-    demucs.add_argument("--demucs_segments_enabled", type=bool, default=True)
+    demucs.add_argument("--demucs_segments_enabled", default="True",
+                        help="Enable segment-wise processing (True/False).")
 
     mdxc = parser.add_argument_group("MDXC Architecture Parameters")
     mdxc.add_argument("--mdxc_segment_size", type=int, default=256)
@@ -233,7 +234,8 @@ def main(argv=None):
             "segment_size": args.demucs_segment_size,
             "shifts": args.demucs_shifts,
             "overlap": args.demucs_overlap,
-            "segments_enabled": args.demucs_segments_enabled,
+            "segments_enabled": str(args.demucs_segments_enabled).lower()
+            not in ("false", "0", "no", "off"),
         },
         mdxc_params={
             "segment_size": args.mdxc_segment_size,
