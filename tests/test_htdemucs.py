@@ -232,3 +232,35 @@ def test_demucs_six_stem_end_to_end(tmp_path):
     names = "".join(outputs)
     for stem in ("Vocals", "Drums", "Bass", "Other", "Guitar", "Piano"):
         assert stem in names, names
+
+
+def test_demucs_shift_trick(oracle_pair):
+    """shifts>0 averages randomly shifted passes (apply.py:202-214): output
+    keeps full length, stays finite, and deviates only mildly from shifts=0."""
+    import logging
+
+    from audio_separator_tpu.architectures.demucs import DemucsSeparator
+
+    oracle, cfg, params = oracle_pair
+
+    def build(shifts):
+        sep = DemucsSeparator.__new__(DemucsSeparator)
+        sep.logger = logging.getLogger("t")
+        sep.segments_enabled = True
+        sep.overlap = 0.25
+        sep.batch_size = 2
+        sep.shifts = shifts
+        import jax.numpy as jnp
+        sep.compute_dtype = jnp.float32
+        return sep
+
+    rng = np.random.default_rng(2)
+    mix = (rng.standard_normal((2, 44100)) * 0.1).astype(np.float32)
+
+    base = build(0)._apply_one(cfg, params, mix, np.random.default_rng(0))
+    tta = build(2)._apply_one(cfg, params, mix, np.random.default_rng(0))
+    assert tta.shape == base.shape == (4, 2, mix.shape[-1])
+    assert np.isfinite(tta).all()
+    # same model content, shifted+averaged: strong correlation with direct
+    corr = np.corrcoef(tta.ravel(), base.ravel())[0, 1]
+    assert corr > 0.8, corr
