@@ -162,3 +162,40 @@ def test_vr_tta_mode(tmp_path):
     y, v = sep.inference_vr(spec, sep.aggressiveness)
     assert y.shape == spec.shape and v.shape == spec.shape
     assert np.isfinite(y).all() and np.isfinite(v).all()
+
+
+def test_vr_post_process_and_high_end(fixtures_dir, tmp_path):
+    """aggression/post-process artifact merge + high-end mirroring flags
+    (ref: vr_separator.py:330-375, spec_utils.mirroring/adjust_aggr)."""
+    from audio_separator_tpu.architectures.vr import VRSeparator
+
+    n_fft_bins = 2048
+    arch = 31191
+    oracle = _randomize(CascadedASPPNetOracle(n_fft_bins, SP_CAPS, arch), seed=6).eval()
+    out_dir = str(tmp_path / "out")
+    common = {
+        "logger": logging.getLogger("test"),
+        "model_name": "hp-test", "model_path": str(tmp_path / "m.pth"),
+        "model_data": {"vr_model_param": "1band_sr44100_hl512",
+                       "primary_stem": "Instrumental"},
+        "output_dir": out_dir, "output_format": "WAV",
+        "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+        "sample_rate": 44100,
+    }
+    arch_cfg = {"batch_size": 2, "window_size": 512, "aggression": 10,
+                "enable_tta": False, "enable_post_process": True,
+                "post_process_threshold": 0.2, "high_end_process": True}
+    sep = VRSeparator(common_config=common, arch_config=arch_cfg)
+    sep._params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}))
+    sep._arch_size = arch
+    sep._offset = 128
+
+    outputs = sep.separate(os.path.join(fixtures_dir, "mardy20s.flac"))
+    assert len(outputs) == 2
+    for p in outputs:
+        full = os.path.join(out_dir, p)
+        assert os.path.exists(full)
+        from audio_separator_tpu.io import audio as audio_io
+        pcm, sr = audio_io.load_audio(full)
+        assert np.isfinite(pcm).all() and pcm.shape[1] > 44100
