@@ -30,10 +30,43 @@ def main(argv=None):
     sep.add_argument("--preset", default=None)
     sep.add_argument("--output_format", default="flac")
     sep.add_argument("--output_dir", default=None)
-    sep.add_argument("--output_single_stem", default=None)
+    sep.add_argument("--output_single_stem", "--single_stem", dest="output_single_stem",
+                     default=None)
+    sep.add_argument("--sample_rate", type=int, default=None)
+    sep.add_argument("--use_soundfile", action="store_true")
+    sep.add_argument("--use_autocast", action="store_true")
     sep.add_argument("--custom_output_names", type=json.loads, default=None)
     sep.add_argument("--timeout", type=int, default=600)
+    sep.add_argument("--poll_interval", type=float, default=2.0)
     sep.add_argument("--no_download", action="store_true")
+    sep.add_argument("--debug", action="store_true")
+    # Separator tuning params forwarded as form fields
+    # (ref: remote/cli.py + api_client.py:30-169)
+    sep.add_argument("--invert_spect", action="store_true")
+    sep.add_argument("--normalization", type=float, default=None)
+    sep.add_argument("--amplification", type=float, default=None)
+    sep.add_argument("--output_bitrate", default=None)
+    sep.add_argument("--mdx_segment_size", type=int, default=None)
+    sep.add_argument("--mdx_overlap", type=float, default=None)
+    sep.add_argument("--mdx_batch_size", type=int, default=None)
+    sep.add_argument("--mdx_hop_length", type=int, default=None)
+    sep.add_argument("--mdx_enable_denoise", action="store_true")
+    sep.add_argument("--vr_batch_size", type=int, default=None)
+    sep.add_argument("--vr_window_size", type=int, default=None)
+    sep.add_argument("--vr_aggression", type=int, default=None)
+    sep.add_argument("--vr_enable_tta", action="store_true")
+    sep.add_argument("--vr_high_end_process", action="store_true")
+    sep.add_argument("--vr_enable_post_process", action="store_true")
+    sep.add_argument("--vr_post_process_threshold", type=float, default=None)
+    sep.add_argument("--demucs_segment_size", default=None)
+    sep.add_argument("--demucs_shifts", type=int, default=None)
+    sep.add_argument("--demucs_overlap", type=float, default=None)
+    sep.add_argument("--demucs_segments_enabled", default=None)
+    sep.add_argument("--mdxc_segment_size", type=int, default=None)
+    sep.add_argument("--mdxc_override_model_segment_size", action="store_true")
+    sep.add_argument("--mdxc_overlap", type=int, default=None)
+    sep.add_argument("--mdxc_batch_size", type=int, default=None)
+    sep.add_argument("--mdxc_pitch_shift", type=int, default=None)
 
     status = sub.add_parser("status", help="Check job status")
     status.add_argument("task_id")
@@ -65,6 +98,28 @@ def main(argv=None):
     client = AudioSeparatorAPIClient(args.api_url)
 
     if args.command == "separate":
+        tuning_keys = [
+            "sample_rate", "use_soundfile", "use_autocast",
+            "invert_spect", "normalization", "amplification", "output_bitrate",
+            "mdx_segment_size", "mdx_overlap", "mdx_batch_size",
+            "mdx_hop_length", "mdx_enable_denoise",
+            "vr_batch_size", "vr_window_size", "vr_aggression", "vr_enable_tta",
+            "vr_high_end_process", "vr_enable_post_process",
+            "vr_post_process_threshold",
+            "demucs_segment_size", "demucs_shifts", "demucs_overlap",
+            "demucs_segments_enabled",
+            "mdxc_segment_size", "mdxc_override_model_segment_size",
+            "mdxc_overlap", "mdxc_batch_size", "mdxc_pitch_shift",
+        ]
+        tuning = {k: getattr(args, k) for k in tuning_keys
+                  if getattr(args, k) not in (None, False)}
+        # client-kwarg names differ for these three (match the Separator API)
+        if tuning.pop("invert_spect", None):
+            tuning["invert_using_spec"] = True
+        if "normalization" in tuning:
+            tuning["normalization_threshold"] = tuning.pop("normalization")
+        if "amplification" in tuning:
+            tuning["amplification_threshold"] = tuning.pop("amplification")
         for path in args.audio_files:
             result = client.separate_audio_and_wait(
                 file_path=path,
@@ -77,6 +132,8 @@ def main(argv=None):
                 download=not args.no_download,
                 output_dir=args.output_dir,
                 timeout=args.timeout,
+                poll_interval=args.poll_interval,
+                **tuning,
             )
             print(json.dumps({
                 "task_id": result["task_id"],
