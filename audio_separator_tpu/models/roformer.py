@@ -136,10 +136,22 @@ def band_layout(cfg: RoformerConfig) -> BandLayout:
 
 
 def _rmsnorm(x: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
-    """torch: F.normalize(x, dim=-1) * sqrt(d) * gamma (fp32 internally)."""
+    """torch: F.normalize(x, dim=-1) * sqrt(d) * gamma (fp32 internally).
+
+    ``AUDSEP_NORM=bf16`` keeps the normalised activations in the compute
+    dtype end-to-end (the sum-of-squares still accumulates in fp32, which is
+    what carries the precision); A/B switch for fusion behaviour on TPU.
+    """
+    import os
+
+    scale = np.sqrt(x.shape[-1])
+    if os.environ.get("AUDSEP_NORM") == "bf16":
+        ssq = jnp.sum(x.astype(jnp.float32) * x.astype(jnp.float32), axis=-1,
+                      keepdims=True)
+        inv = (scale * jax.lax.rsqrt(jnp.maximum(ssq, 1e-24))).astype(x.dtype)
+        return x * inv * gamma
     x32 = x.astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True))
-    scale = np.sqrt(x.shape[-1])
     out = x32 / jnp.maximum(norm, 1e-12) * scale
     return (out * gamma).astype(x.dtype)
 

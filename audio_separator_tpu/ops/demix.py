@@ -63,12 +63,13 @@ def window_positions(total: int, chunk: int, step: int) -> np.ndarray:
     jax.jit,
     static_argnames=("model_fn", "chunk", "batch_size", "num_stems",
                      "out_channels", "quantized_transfer", "has_divider",
-                     "mesh", "data_axis"),
+                     "normalize", "mesh", "data_axis"),
 )
 def _demix_scan(
     model_fn: Callable,
     model_params,  # pytree threaded to model_fn as a traced argument
-    mix: jnp.ndarray,  # (C, T_buf) — padded so every window fits
+    mix: jnp.ndarray,  # (C, T_buf) f32 — or int16 with mix_inv_scale set
+    mix_inv_scale: jnp.ndarray,  # () f32 dequant factor (1.0 for f32 mix)
     positions: jnp.ndarray,  # (N,) int32, N % batch_size == 0
     windows: jnp.ndarray,  # (N, chunk) dense rows OR (chunk,) shared window
     row_scale: jnp.ndarray,  # (N,) per-row validity/weight (shared-window path)
@@ -79,6 +80,7 @@ def _demix_scan(
     out_channels: int,
     quantized_transfer: bool,
     has_divider: bool,
+    normalize: bool = True,
     mesh=None,
     data_axis: str = "data",
 ):
@@ -86,13 +88,17 @@ def _demix_scan(
     n = positions.shape[0]
     nb = n // batch_size
     shared_window = windows.ndim == 1
+    quantized_mix = mix.dtype == jnp.int16
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         batch_sharding = NamedSharding(mesh, PartitionSpec(data_axis))
 
     def gather_one(pos):
-        return jax.lax.dynamic_slice(mix, (0, pos), (c, chunk))
+        part = jax.lax.dynamic_slice(mix, (0, pos), (c, chunk))
+        if quantized_mix:
+            part = part.astype(jnp.float32) * mix_inv_scale
+        return part
 
     def body(carry, batch):
         acc, wsum = carry
@@ -115,19 +121,21 @@ def _demix_scan(
                 acc, (0, 0, pos_b[i]), (num_stems, out_channels, chunk)
             )
             acc = jax.lax.dynamic_update_slice(acc, sl + out[i], (0, 0, pos_b[i]))
-            if not has_divider:
+            if normalize and not has_divider:
                 ws = jax.lax.dynamic_slice(wsum, (pos_b[i],), (chunk,))
                 wsum = jax.lax.dynamic_update_slice(wsum, ws + win_b[i], (pos_b[i],))
         return (acc, wsum), None
 
+    track_wsum = normalize and not has_divider
     acc0 = jnp.zeros((num_stems, out_channels, t_buf), dtype=jnp.float32)
-    wsum0 = jnp.zeros((t_buf if not has_divider else 1,), dtype=jnp.float32)
+    wsum0 = jnp.zeros((t_buf if track_wsum else 1,), dtype=jnp.float32)
     xs = ((positions.reshape(nb, batch_size), row_scale.reshape(nb, batch_size))
           if shared_window
           else (positions.reshape(nb, batch_size),
                 windows.reshape(nb, batch_size, -1)))
     (acc, wsum), _ = jax.lax.scan(body, (acc0, wsum0), xs)
-    acc = acc / (divider if has_divider else jnp.maximum(wsum, 1e-10))
+    if normalize:
+        acc = acc / (divider if has_divider else jnp.maximum(wsum, 1e-10))
     if not quantized_transfer:
         return acc, jnp.float32(1.0)
     # Device-side int16 quantisation halves the device→host transfer; the
@@ -152,6 +160,8 @@ def overlap_add_demix(
     mesh=None,
     data_axis: str = "data",
     bucket: bool = True,
+    pipeline_segments: int | None = None,
+    quantized_upload: bool = False,
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
 
@@ -170,6 +180,16 @@ def overlap_add_demix(
     parallelism, SURVEY §2.8); compose with TP-sharded ``model_params`` (see
     ``parallel.mesh.shard_roformer_params``) and XLA SPMD inserts the
     collectives. ``batch_size`` is rounded up to the axis extent.
+
+    ``pipeline_segments > 1`` splits the window list into K contiguous
+    same-shaped segments and dispatches one scan per segment *asynchronously*,
+    so segment k+1's host→device upload and segment k-1's device→host fetch
+    overlap segment k's compute (JAX dispatch is async; the combine +
+    overlap normalisation happens on host from unnormalised accumulators and
+    a host-computed weight divider). On bandwidth-starved links the transfer
+    time hides almost entirely behind compute. ``quantized_upload`` ships the
+    mix as scaled int16 (half the host→device bytes; dequantised on device
+    inside the scan, ~90 dB SNR).
 
     Always pass the weight pytree via ``model_params`` rather than closing
     over device arrays: closed-over arrays are baked into the jaxpr as
@@ -192,6 +212,21 @@ def overlap_add_demix(
     if not shared_window:
         assert window.shape == (n, chunk)
 
+    if pipeline_segments is None:
+        # Auto: overlap transfers with compute once the track is long enough
+        # for each segment to hold >= 2 window batches. AUDSEP_PIPELINE
+        # overrides (1 disables).
+        import os
+
+        env = os.environ.get("AUDSEP_PIPELINE")
+        cap = int(env) if env else 4
+        pipeline_segments = min(cap, max(1, n // (2 * batch_size)))
+    if pipeline_segments > 1 and mesh is None and n >= 2 * batch_size:
+        return _pipelined_demix(
+            model_fn, mix, chunk, window, shared_window, positions, divider,
+            num_stems, batch_size, quantized_transfer, quantized_upload,
+            model_params, pipeline_segments, bucket)
+
     # Device buffer must fit every gathered/accumulated window.
     t_buf = max(total, int(positions.max()) + chunk)
     if bucket:
@@ -204,9 +239,11 @@ def overlap_add_demix(
     mix_buf[:, :total] = mix
 
     has_divider = divider is not None
-    if has_divider and len(divider) < t_buf:
-        divider = np.concatenate(
-            [divider, np.ones(t_buf - len(divider), np.float32)])
+    if has_divider:
+        if len(divider) < t_buf:
+            divider = np.concatenate(
+                [divider, np.ones(t_buf - len(divider), np.float32)])
+        divider = divider[:t_buf]
 
     if mesh is not None:
         # Round the per-step batch up to the data-axis extent so every device
@@ -226,10 +263,20 @@ def overlap_add_demix(
         windows_dev = np.zeros((n_pad, chunk), dtype=np.float32)
         windows_dev[:n] = window
 
+    if quantized_upload:
+        peak = max(float(np.max(np.abs(mix_buf))), 1e-9)
+        up_scale = 32000.0 / peak
+        mix_dev = np.round(mix_buf * up_scale).astype(np.int16)
+        inv_scale = np.float32(1.0 / up_scale)
+    else:
+        mix_dev = mix_buf
+        inv_scale = np.float32(1.0)
+
     acc, scale = _demix_scan(
         model_fn,
         model_params,
-        jnp.asarray(mix_buf),
+        jnp.asarray(mix_dev),
+        jnp.asarray(inv_scale),
         jnp.asarray(positions_padded),
         jnp.asarray(windows_dev),
         jnp.asarray(row_scale),
@@ -241,9 +288,112 @@ def overlap_add_demix(
         c,
         quantized_transfer,
         has_divider,
-        mesh,
-        data_axis,
+        normalize=True,
+        mesh=mesh,
+        data_axis=data_axis,
     )
     if quantized_transfer:
         return np.asarray(acc)[..., :total].astype(np.float32) / float(scale)
     return np.array(np.asarray(acc)[..., :total])
+
+
+def _pipelined_demix(
+    model_fn: Callable,
+    mix: np.ndarray,
+    chunk: int,
+    window: np.ndarray,
+    shared_window: bool,
+    positions: np.ndarray,
+    divider: np.ndarray | None,
+    num_stems: int,
+    batch_size: int,
+    quantized_transfer: bool,
+    quantized_upload: bool,
+    model_params,
+    n_segments: int,
+    bucket: bool,
+) -> np.ndarray:
+    """Segment-pipelined demix: K contiguous window groups, each run as an
+    *unnormalised* device scan over its own mix slice, dispatched back to back
+    so JAX's async dispatch overlaps H2D upload / compute / D2H fetch across
+    segments. All segments share one program shape (padded window count and
+    bucketed buffer length), so XLA compiles exactly once. The overlap-add
+    across segment boundaries and the window-weight normalisation happen on
+    host, where the divider is a cheap numpy overlap-add of the window rows.
+    """
+    c, total = mix.shape
+    n = len(positions)
+    order = np.argsort(positions, kind="stable")
+    pos_sorted = positions[order]
+
+    n_segments = max(1, min(n_segments, n // batch_size))
+    groups = np.array_split(np.arange(n), n_segments)
+
+    pad_n = bucket_up if bucket else (lambda v, q: -(-v // q) * q)
+    seg_n = pad_n(max(len(g) for g in groups), batch_size)
+    spans = [int(pos_sorted[g[-1]]) + chunk - int(pos_sorted[g[0]]) for g in groups]
+    seg_buf = bucket_up(max(spans), chunk) if bucket else max(spans)
+
+    t_full = max(total, int(pos_sorted[-1]) + chunk)
+    pad_to = max(t_full, max(int(pos_sorted[g[0]]) for g in groups) + seg_buf)
+    mix_buf = np.zeros((c, pad_to), dtype=np.float32)
+    mix_buf[:, :total] = mix
+    if quantized_upload:
+        peak = max(float(np.max(np.abs(mix_buf))), 1e-9)
+        up_scale = 32000.0 / peak
+        mix_host = np.round(mix_buf * up_scale).astype(np.int16)
+        inv_scale = jnp.asarray(np.float32(1.0 / up_scale))
+    else:
+        mix_host = mix_buf
+        inv_scale = jnp.asarray(np.float32(1.0))
+
+    dummy_div = jnp.ones((1,), jnp.float32)
+    handles = []
+    for g in groups:
+        lo = int(pos_sorted[g[0]])
+        seg_pos = np.zeros(seg_n, dtype=np.int32)
+        seg_pos[: len(g)] = pos_sorted[g] - lo
+        row_scale = np.zeros(seg_n, dtype=np.float32)
+        row_scale[: len(g)] = 1.0
+        if shared_window:
+            win_dev = window
+        else:
+            win_dev = np.zeros((seg_n, chunk), dtype=np.float32)
+            win_dev[: len(g)] = window[order[g]]
+        acc, scale = _demix_scan(
+            model_fn,
+            model_params,
+            jnp.asarray(mix_host[:, lo : lo + seg_buf]),
+            inv_scale,
+            jnp.asarray(seg_pos),
+            jnp.asarray(win_dev),
+            jnp.asarray(row_scale),
+            dummy_div,
+            chunk,
+            batch_size,
+            num_stems,
+            c,
+            quantized_transfer,
+            True,  # has_divider: skip device wsum (normalisation is on host)
+            normalize=False,
+        )
+        handles.append((lo, acc, scale))
+
+    full = np.zeros((num_stems, c, pad_to), dtype=np.float32)
+    for lo, acc, scale in handles:
+        a = np.asarray(acc).astype(np.float32)
+        if quantized_transfer:
+            a /= float(scale)
+        full[:, :, lo : lo + seg_buf] += a
+
+    if divider is not None:
+        div = np.asarray(divider, dtype=np.float32)
+        if len(div) < pad_to:
+            div = np.concatenate([div, np.ones(pad_to - len(div), np.float32)])
+        div = div[:pad_to]
+    else:
+        div = np.zeros(pad_to, dtype=np.float32)
+        for r, p in enumerate(positions):
+            div[p : p + chunk] += window if shared_window else window[r]
+    full /= np.maximum(div, 1e-10)
+    return full[..., :total]

@@ -72,11 +72,18 @@ def main():
     rng = np.random.default_rng(0)
     window = np.asarray(hamming_window(chunk))
 
+    # Segment pipelining overlaps H2D upload / compute / D2H fetch (the
+    # tethered-TPU link moves ~24 MB/s; a 4-min track is ~170 MB round-trip).
+    pipeline = int(os.environ.get("AUDSEP_PIPELINE", 4))
+    q_up = os.environ.get("AUDSEP_QUPLOAD", "1") != "0"
+
     def run(n_seconds):
         mix = (rng.standard_normal((2, int(n_seconds * sr))) * 0.1).astype(np.float32)
         return overlap_add_demix(model_fn, mix, chunk, step, window,
                                  num_stems=cfg.num_stems, batch_size=batch_size,
-                                 model_params=params, quantized_transfer=True)
+                                 model_params=params, quantized_transfer=True,
+                                 pipeline_segments=pipeline,
+                                 quantized_upload=q_up)
 
     run(seconds)  # warmup: compile the exact program shape measured below
     t0 = time.time()

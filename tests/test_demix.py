@@ -125,3 +125,58 @@ def test_demix_bucketing_exact_across_lengths():
         bucketed = overlap_add_demix(_model, mix, chunk, step, window,
                                      num_stems=2, batch_size=2, bucket=True)
         np.testing.assert_allclose(bucketed, exact, atol=1e-6), total
+
+
+def test_demix_pipelined_matches_single_scan():
+    """Segment-pipelined dispatch (async H2D/compute/D2H overlap) is
+    numerically equivalent to the one-scan path, for overlapping windows
+    whose contributions straddle segment boundaries."""
+    rng = np.random.default_rng(11)
+    mix = rng.standard_normal((2, 50000)).astype(np.float32)
+    chunk, step = 4096, 2500  # step < chunk: cross-segment overlap-add
+    window = np.asarray(hamming_window(chunk))
+    base = overlap_add_demix(_model, mix, chunk, step, window,
+                             num_stems=2, batch_size=2)
+    for k in (2, 3, 5):
+        piped = overlap_add_demix(_model, mix, chunk, step, window,
+                                  num_stems=2, batch_size=2,
+                                  pipeline_segments=k)
+        np.testing.assert_allclose(piped, base, atol=1e-5)
+
+
+def test_demix_pipelined_dense_windows_and_divider():
+    """Pipelined path with per-position window rows and an explicit host
+    divider (the MDX tail semantics)."""
+    rng = np.random.default_rng(12)
+    mix = rng.standard_normal((2, 30000)).astype(np.float32)
+    chunk, step = 4096, 3000
+    positions = window_positions(30000, chunk, step)
+    n = len(positions)
+    windows = np.tile(np.asarray(hamming_window(chunk))[None], (n, 1))
+    windows[-1, chunk // 2:] = 0.0  # uneven tail row
+    divider = np.zeros(30000 + chunk, np.float32)
+    for r, p in enumerate(positions):
+        divider[p:p + chunk] += windows[r]
+    divider = np.maximum(divider, 1e-10)
+    base = overlap_add_demix(_model, mix, chunk, step, windows, num_stems=2,
+                             batch_size=2, positions=positions, divider=divider)
+    piped = overlap_add_demix(_model, mix, chunk, step, windows, num_stems=2,
+                              batch_size=2, positions=positions,
+                              divider=divider, pipeline_segments=3)
+    np.testing.assert_allclose(piped, base, atol=1e-5)
+
+
+def test_demix_quantized_upload_and_transfer():
+    """int16 mix upload + int16 stem fetch stay within quantisation noise."""
+    rng = np.random.default_rng(13)
+    mix = rng.standard_normal((2, 20000)).astype(np.float32)
+    chunk, step = 2048, 1500
+    window = np.asarray(hamming_window(chunk))
+    base = overlap_add_demix(_model, mix, chunk, step, window,
+                             num_stems=2, batch_size=2)
+    for k in (1, 3):
+        q = overlap_add_demix(_model, mix, chunk, step, window,
+                              num_stems=2, batch_size=2, pipeline_segments=k,
+                              quantized_upload=True, quantized_transfer=True)
+        err = np.abs(q - base).max()
+        assert err < 5e-4, (k, err)
