@@ -173,13 +173,32 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 def _attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
                rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]) -> jnp.ndarray:
-    """Gated multi-head attention (ref: bs_roformer.py Attention)."""
+    """Gated multi-head attention (ref: bs_roformer.py Attention).
+
+    ``AUDSEP_QKV=einsum`` expresses the head split/merge as einsum
+    contractions producing ``(b, h, n, dh)`` directly instead of
+    reshape+transpose chains — on TPU the transposes materialise as HBM
+    layout copies that the device trace showed costing as much as the
+    attention matmuls themselves.
+    """
+    import os
+
     b, n, d = x.shape
     xn = _rmsnorm(x, p["attn_norm"])
-    qkv = xn @ p["wqkv"]  # (b, n, 3*h*dh)
-    dh = qkv.shape[-1] // (3 * heads)
-    qkv = qkv.reshape(b, n, 3, heads, dh).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]  # (b, h, n, dh)
+    if os.environ.get("AUDSEP_QKV") == "einsum":
+        w3 = p["wqkv"].reshape(d, 3, heads, -1)
+        proj = functools.partial(jnp.einsum, "bnd,dhk->bhnk",
+                                 preferred_element_type=jnp.float32)
+        q = proj(xn, w3[:, 0]).astype(x.dtype)
+        k = proj(xn, w3[:, 1]).astype(x.dtype)
+        v = proj(xn, w3[:, 2]).astype(x.dtype)
+        merge_einsum = True
+    else:
+        qkv = xn @ p["wqkv"]  # (b, n, 3*h*dh)
+        dh = qkv.shape[-1] // (3 * heads)
+        qkv = qkv.reshape(b, n, 3, heads, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (b, h, n, dh)
+        merge_einsum = False
     if rope is not None:
         cos, sin = rope
         q = q * cos + _rotate_half(q) * sin
@@ -187,7 +206,11 @@ def _attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
     out = dot_product_attention(q, k, v).astype(x.dtype)
     gates = jax.nn.sigmoid(xn @ p["gate_w"] + p["gate_b"])  # (b, n, h)
     out = out * gates.transpose(0, 2, 1)[..., None]
-    out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * dh)
+    if merge_einsum:
+        wo = p["wo"].reshape(heads, -1, d)
+        return jnp.einsum("bhnk,hkd->bnd", out, wo,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * out.shape[-1])
     return out @ p["wo"]
 
 

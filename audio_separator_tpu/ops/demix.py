@@ -221,11 +221,15 @@ def overlap_add_demix(
         env = os.environ.get("AUDSEP_PIPELINE")
         cap = int(env) if env else 4
         pipeline_segments = min(cap, max(1, n // (2 * batch_size)))
-    if pipeline_segments > 1 and mesh is None and n >= 2 * batch_size:
+    if mesh is not None:
+        # Round the per-step batch up to the data-axis extent so every device
+        # holds at least one window per step.
+        batch_size = -(-batch_size // mesh.shape[data_axis]) * mesh.shape[data_axis]
+    if pipeline_segments > 1 and n >= 2 * batch_size:
         return _pipelined_demix(
             model_fn, mix, chunk, window, shared_window, positions, divider,
             num_stems, batch_size, quantized_transfer, quantized_upload,
-            model_params, pipeline_segments, bucket)
+            model_params, pipeline_segments, bucket, mesh, data_axis)
 
     # Device buffer must fit every gathered/accumulated window.
     t_buf = max(total, int(positions.max()) + chunk)
@@ -244,12 +248,6 @@ def overlap_add_demix(
             divider = np.concatenate(
                 [divider, np.ones(t_buf - len(divider), np.float32)])
         divider = divider[:t_buf]
-
-    if mesh is not None:
-        # Round the per-step batch up to the data-axis extent so every device
-        # holds at least one window per step.
-        ndev = mesh.shape[data_axis]
-        batch_size = -(-batch_size // ndev) * ndev
 
     n_pad = (bucket_up(n, batch_size) if bucket
              else -(-n // batch_size) * batch_size)
@@ -312,6 +310,8 @@ def _pipelined_demix(
     model_params,
     n_segments: int,
     bucket: bool,
+    mesh=None,
+    data_axis: str = "data",
 ) -> np.ndarray:
     """Segment-pipelined demix: K contiguous window groups, each run as an
     *unnormalised* device scan over its own mix slice, dispatched back to back
@@ -376,6 +376,8 @@ def _pipelined_demix(
             quantized_transfer,
             True,  # has_divider: skip device wsum (normalisation is on host)
             normalize=False,
+            mesh=mesh,
+            data_axis=data_axis,
         )
         handles.append((lo, acc, scale))
 

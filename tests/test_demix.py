@@ -180,3 +180,20 @@ def test_demix_quantized_upload_and_transfer():
                               quantized_upload=True, quantized_transfer=True)
         err = np.abs(q - base).max()
         assert err < 5e-4, (k, err)
+
+
+def test_demix_pipelined_composes_with_mesh():
+    """Segment pipelining composes with chunk-batch DP over the mesh."""
+    from audio_separator_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(21)
+    mix = rng.standard_normal((2, 60000)).astype(np.float32)
+    chunk, step = 4096, 3000
+    window = np.asarray(hamming_window(chunk))
+    base = overlap_add_demix(_model, mix, chunk, step, window,
+                             num_stems=2, batch_size=2, pipeline_segments=1)
+    mesh = make_mesh(n_devices=4, dp=4, tp=1)
+    piped = overlap_add_demix(_model, mix, chunk, step, window,
+                              num_stems=2, batch_size=4, mesh=mesh,
+                              pipeline_segments=3)
+    np.testing.assert_allclose(piped, base, atol=1e-5)
