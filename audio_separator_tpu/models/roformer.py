@@ -226,7 +226,40 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
     """Inner transformer: `inner_depth` × (attn + ff), optional output norm.
 
     `stack` leaves carry a leading (inner_depth, ...) axis.
+
+    ``AUDSEP_BLOCK=pallas`` runs each attention half-block as one fused
+    Pallas kernel (norm+qkv+RoPE+attention+gate+proj+residual VMEM-resident;
+    see ops/attention_block.py) — the sequence axis is padded to the 128-lane
+    granularity once around the whole inner stack, key columns masked by
+    ``n_valid``, and the feedforward halves stay in XLA.
     """
+    import os
+
+    if os.environ.get("AUDSEP_BLOCK") == "pallas":
+        from ..ops.attention import _flash_available
+        from ..ops.attention_block import fused_attention_block
+
+        if _flash_available():
+            b, n, d = x.shape
+            pad = (-n) % 128
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            rope_p = rope
+            if rope is not None and pad:
+                rope_p = (jnp.pad(rope[0], ((0, pad), (0, 0))),
+                          jnp.pad(rope[1], ((0, pad), (0, 0))))
+            for j in range(inner_depth):
+                layer = {k: v[j] for k, v in stack.items() if k != "out_norm"}
+                x = fused_attention_block(
+                    x, layer["wqkv"], layer["gate_w"], layer["gate_b"],
+                    layer["wo"], layer["attn_norm"], rope_p, heads, n_valid=n)
+                x = x + _feedforward(layer, x)
+            if pad:
+                x = x[:, :n]
+            if "out_norm" in stack:
+                x = _rmsnorm(x, stack["out_norm"])
+            return x
+
     for j in range(inner_depth):
         layer = {k: v[j] for k, v in stack.items() if k != "out_norm"}
         x = x + _attention(layer, x, heads, rope)

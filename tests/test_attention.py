@@ -42,3 +42,35 @@ def test_pallas_kernel_freq_shape_matches_einsum():
     got = np.asarray(_pallas_fused_attention(q, k, v, 0.125, group=8,
                                              interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("n,b,rope,group", [(100, 4, True, 2), (62, 6, False, 3),
+                                            (130, 2, True, 1)])
+def test_fused_attention_block_matches_reference(n, b, rope, group):
+    """Fused Pallas block (norm+qkv+RoPE+attn+gate+proj+residual) == the
+    composed JAX ops, with sequence padding and key-column masking."""
+    from audio_separator_tpu.models.roformer import _attention, _rope_tables
+    from audio_separator_tpu.ops.attention_block import fused_attention_block
+
+    d, h, dh = 64, 4, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32) * 0.3)
+    p = {
+        "attn_norm": jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1 + 1.0),
+        "wqkv": jnp.asarray(rng.standard_normal((d, 3 * h * dh)).astype(np.float32) * 0.05),
+        "gate_w": jnp.asarray(rng.standard_normal((d, h)).astype(np.float32) * 0.05),
+        "gate_b": jnp.asarray(rng.standard_normal(h).astype(np.float32) * 0.05),
+        "wo": jnp.asarray(rng.standard_normal((h * dh, d)).astype(np.float32) * 0.05),
+    }
+    tables = _rope_tables(n, dh) if rope else None
+    ref = np.asarray(x + _attention(p, x, h, tables))
+    pad = (-n) % 128
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    rope_p = None
+    if rope:
+        rope_p = (jnp.pad(tables[0], ((0, pad), (0, 0))),
+                  jnp.pad(tables[1], ((0, pad), (0, 0))))
+    got = np.asarray(fused_attention_block(
+        xp, p["wqkv"], p["gate_w"], p["gate_b"], p["wo"], p["attn_norm"],
+        rope_p, h, n_valid=n, group=group, interpret=True))[:, :n]
+    np.testing.assert_allclose(got, ref, atol=3e-5)

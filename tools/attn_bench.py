@@ -64,21 +64,20 @@ def main():
 
         bench(lambda q, k, v: _einsum_attention(q, k, v, scale), q, k, v,
               "einsum")
-        if n >= 128:
-            for group in (1, 2, 4, 8, 16):
-                if (b * h) % group:
-                    continue
-                bench(lambda q, k, v, g=group:
-                      _pallas_fused_attention(q, k, v, scale, group=g),
-                      q, k, v, f"pallas whole-seq group={group}")
-            try:
-                from jax.experimental.pallas.ops.tpu.flash_attention import (
-                    flash_attention)
+        for group in (1, 2, 4, 8, 16, 32):
+            if (b * h) % group:
+                continue
+            bench(lambda q, k, v, g=group:
+                  _pallas_fused_attention(q, k, v, scale, group=g),
+                  q, k, v, f"pallas whole-seq group={group}")
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention)
 
-                bench(lambda q, k, v: flash_attention(q, k, v, sm_scale=scale),
-                      q, k, v, "stock pallas flash")
-            except Exception as e:  # noqa: BLE001
-                print(f"stock pallas flash unavailable: {e}")
+            bench(lambda q, k, v: flash_attention(q, k, v, sm_scale=scale),
+                  q, k, v, "stock pallas flash")
+        except Exception as e:  # noqa: BLE001
+            print(f"stock pallas flash unavailable: {e}")
 
 
 if __name__ == "__main__":
