@@ -52,8 +52,8 @@ def _layer_kernel(x_ref, wqkv_ref, gate_w_ref, gate_b_ref, wo_ref,
 
         qkv = jax.lax.dot(
             xn, wqkv_ref[...], preferred_element_type=jnp.float32
-        ).astype(xg.dtype)  # (n_pad, 3*h*dh)
-        qkv = qkv.reshape(n_pad, 3, heads, dim_head)
+        ).astype(xg.dtype)  # (n_pad, 3*h*dh); cols = [q_h0..q_hH, k_*, v_*]
+        hd = heads * dim_head
 
         gates = jax.nn.sigmoid(
             jax.lax.dot(xn, gate_w_ref[...],
@@ -63,9 +63,9 @@ def _layer_kernel(x_ref, wqkv_ref, gate_w_ref, gate_b_ref, wo_ref,
 
         out_heads = []
         for h in range(heads):
-            q = qkv[:, 0, h]
-            k = qkv[:, 1, h]
-            v = qkv[:, 2, h]
+            q = qkv[:, h * dim_head : (h + 1) * dim_head]
+            k = qkv[:, hd + h * dim_head : hd + (h + 1) * dim_head]
+            v = qkv[:, 2 * hd + h * dim_head : 2 * hd + (h + 1) * dim_head]
             if use_rope:
                 # rotate_half as a (dh, dh) signed-permutation matmul — MXU-
                 # friendly, avoids sub-lane reshapes inside the kernel
@@ -122,14 +122,16 @@ def fused_attention_block(
     assert n_pad % 128 == 0, "caller pads the sequence axis to 128"
     dh = wqkv.shape[-1] // (3 * heads)
 
+    # The kernel's working set at flagship time-attention shapes (n_pad=896,
+    # d=512) is ~17 MB at group=1 — above the 16 MB default scoped-vmem
+    # limit, well under physical VMEM. Raise the limit and budget groups
+    # against it.
+    vmem_limit = 40 * 1024 * 1024
     if group is None:
-        # VMEM (~16 MB): fp32 score/softmax tiles + ~10 (n_pad, d)-sized
-        # per-sequence buffers (x/xn/fp32 copies/qkv/merged/out incl. double
-        # buffering) + resident weights.
         weights = 2 * (wqkv.size + wo.size + gate_w.size)
         scores = 2 * 4 * n_pad * n_pad
         per_seq = 10 * 2 * n_pad * d + scores
-        budget = 13 * 1024 * 1024 - weights
+        budget = int(vmem_limit * 0.85) - weights
         group = max(1, min(16, budget // max(per_seq, 1)))
     while b % group:
         group -= 1
@@ -156,6 +158,11 @@ def fused_attention_block(
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+    except AttributeError:  # older jax spelling
+        compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_limit)
+
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -164,5 +171,6 @@ def fused_attention_block(
                   whole(wo), whole(attn_norm), whole(cos), whole(sin),
                   whole(rot)],
         out_specs=seq_spec,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(x, wqkv, gate_w, gate_b, wo, attn_norm, cos, sin, rot)
