@@ -66,8 +66,26 @@ def _convert_attention(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.n
     }
 
 
-def _convert_transformer(sd, prefix: str, inner_depth: int, has_out_norm: bool):
-    layers = [_convert_attention(sd, f"{prefix}.layers.{l}") for l in range(inner_depth)]
+def _convert_linear_attention(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """LinearAttention layer (ref: bs_roformer.py:104-133): no gates/RoPE,
+    per-head temperature, bias-free projections."""
+    return {
+        "attn_norm": sd[f"{prefix}.0.norm.gamma"],
+        "wqkv": sd[f"{prefix}.0.to_qkv.0.weight"].T,
+        "temperature": sd[f"{prefix}.0.temperature"].reshape(-1),
+        "wo": sd[f"{prefix}.0.to_out.1.weight"].T,
+        "ff_norm": sd[f"{prefix}.1.net.0.gamma"],
+        "ff_w1": sd[f"{prefix}.1.net.1.weight"].T,
+        "ff_b1": sd[f"{prefix}.1.net.1.bias"],
+        "ff_w2": sd[f"{prefix}.1.net.4.weight"].T,
+        "ff_b2": sd[f"{prefix}.1.net.4.bias"],
+    }
+
+
+def _convert_transformer(sd, prefix: str, inner_depth: int, has_out_norm: bool,
+                         linear: bool = False):
+    convert = _convert_linear_attention if linear else _convert_attention
+    layers = [convert(sd, f"{prefix}.layers.{l}") for l in range(inner_depth)]
     out = {k: _stack(layers, k) for k in layers[0]}
     if has_out_norm:
         out["out_norm"] = sd[f"{prefix}.norm.gamma"]
@@ -78,11 +96,6 @@ def convert_roformer(sd: Dict[str, np.ndarray], cfg: RoformerConfig) -> Dict[str
     """Build the apply_roformer params pytree from a torch state dict."""
     layout: BandLayout = band_layout(cfg)
     nb, max_in, dim = layout.n_bands, layout.max_in, cfg.dim
-
-    if cfg.linear_transformer_depth > 0:
-        raise NotImplementedError(
-            "linear_transformer_depth > 0 (LinearAttention) not yet supported"
-        )
 
     # --- band split (padded) -------------------------------------------------
     gamma = np.zeros((nb, max_in), np.float32)
@@ -97,17 +110,23 @@ def convert_roformer(sd: Dict[str, np.ndarray], cfg: RoformerConfig) -> Dict[str
 
     # --- transformer blocks (stacked for scan) -------------------------------
     has_inner_norm = cfg.kind == "mel"  # norm_output=True for mel variant
-    time_idx, freq_idx = 0, 1
+    has_linear = cfg.linear_transformer_depth > 0  # BS only (ref :376-377)
+    time_idx, freq_idx = (1, 2) if has_linear else (0, 1)
     per_depth = []
     for d in range(cfg.depth):
-        per_depth.append({
+        entry = {
             "time": _convert_transformer(sd, f"layers.{d}.{time_idx}",
                                          cfg.time_transformer_depth, has_inner_norm),
             "freq": _convert_transformer(sd, f"layers.{d}.{freq_idx}",
                                          cfg.freq_transformer_depth, has_inner_norm),
-        })
+        }
+        if has_linear:
+            entry["linear"] = _convert_transformer(
+                sd, f"layers.{d}.0", cfg.linear_transformer_depth,
+                has_inner_norm, linear=True)
+        per_depth.append(entry)
     blocks = {}
-    for branch in ("time", "freq"):
+    for branch in per_depth[0]:
         blocks[branch] = {
             k: np.stack([pd[branch][k] for pd in per_depth])
             for k in per_depth[0][branch]

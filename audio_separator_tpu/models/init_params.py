@@ -60,6 +60,13 @@ def init_roformer_params(cfg: RoformerConfig, seed: int = 0, scale: float = 0.02
             "freq": trans_stack(cfg.freq_transformer_depth, cfg.kind == "mel"),
         },
     }
+    if cfg.linear_transformer_depth > 0:
+        lin = trans_stack(cfg.linear_transformer_depth, cfg.kind == "mel")
+        for gate_key in ("gate_w", "gate_b"):
+            lin.pop(gate_key)
+        lin["temperature"] = np.ones(
+            (cfg.depth, cfg.linear_transformer_depth, h), np.float32)
+        params["blocks"]["linear"] = lin
     if cfg.kind == "bs":
         params["final_norm"] = {"gamma": np.ones(dim, np.float32)}
 

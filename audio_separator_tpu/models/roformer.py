@@ -185,7 +185,19 @@ def _attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
 
     b, n, d = x.shape
     xn = _rmsnorm(x, p["attn_norm"])
-    if os.environ.get("AUDSEP_QKV") == "einsum":
+    qkv_mode = os.environ.get("AUDSEP_QKV")
+    if qkv_mode is None:
+        # Default: einsum head projections whenever the Pallas attention
+        # kernel is available (TPU) — einsum projections hand (b,h,n,dh) to
+        # the kernel without the big relayout. Measured on the flagship
+        # forward: 486 ms vs 530 ms (matmul qkv + Pallas attention) vs
+        # 630-638 ms (einsum-softmax attention). Only reached when the fused
+        # block kernel is disabled (AUDSEP_BLOCK=off). On non-TPU backends
+        # the fused qkv matmul + transpose is the right shape.
+        from ..ops.attention import _flash_available
+
+        qkv_mode = "einsum" if _flash_available() else "matmul"
+    if qkv_mode == "einsum":
         w3 = p["wqkv"].reshape(d, 3, heads, -1)
         proj = functools.partial(jnp.einsum, "bnd,dhk->bhnk",
                                  preferred_element_type=jnp.float32)
@@ -214,6 +226,36 @@ def _attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
     return out @ p["wo"]
 
 
+def _linear_attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
+                      heads: int) -> jnp.ndarray:
+    """XCiT-style cross-covariance attention (ref: bs_roformer.py:104-133):
+    the (dim_head × dim_head) attention matrix contracts over *tokens*, with
+    q/k l2-normalised along tokens, a learned per-head temperature on q, and
+    a fixed softmax scale of 8. Cost is linear in sequence length."""
+    b, n, d = x.shape
+    xn = _rmsnorm(x, p["attn_norm"])
+    qkv = xn @ p["wqkv"]  # (b, n, 3*h*dh)
+    dh = qkv.shape[-1] // (3 * heads)
+    qkv = qkv.reshape(b, n, 3, heads, dh).transpose(2, 0, 3, 4, 1)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # (b, h, dh, n)
+
+    def l2(t):
+        t32 = t.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(t32 * t32, axis=-1, keepdims=True))
+        return (t32 / jnp.maximum(norm, 1e-12)).astype(t.dtype)
+
+    temp = jnp.exp(p["temperature"].astype(jnp.float32)).reshape(1, heads, 1, 1)
+    q = (l2(q).astype(jnp.float32) * temp).astype(x.dtype)
+    k = l2(k)
+    sim = jnp.einsum("bhdn,bhen->bhde", q, k,
+                     preferred_element_type=jnp.float32) * 8.0
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhde,bhen->bhdn", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 3, 1, 2).reshape(b, n, heads * dh)
+    return out @ p["wo"]
+
+
 def _feedforward(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
     xn = _rmsnorm(x, p["ff_norm"])
     h = jax.nn.gelu(xn @ p["ff_w1"] + p["ff_b1"], approximate=False)
@@ -222,22 +264,36 @@ def _feedforward(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
 
 def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
                  inner_depth: int,
-                 rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]) -> jnp.ndarray:
+                 rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+                 linear: bool = False) -> jnp.ndarray:
     """Inner transformer: `inner_depth` × (attn + ff), optional output norm.
 
     `stack` leaves carry a leading (inner_depth, ...) axis.
 
-    ``AUDSEP_BLOCK=pallas`` runs each attention half-block as one fused
-    Pallas kernel (norm+qkv+RoPE+attention+gate+proj+residual VMEM-resident;
-    see ops/attention_block.py) — the sequence axis is padded to the 128-lane
+    On TPU the default runs each attention half-block as one fused Pallas
+    kernel (norm+qkv+RoPE+attention+gate+proj+residual VMEM-resident; see
+    ops/attention_block.py) — the sequence axis is padded to the 128-lane
     granularity once around the whole inner stack, key columns masked by
-    ``n_valid``, and the feedforward halves stay in XLA.
+    ``n_valid``, and the feedforward halves stay in XLA. ``AUDSEP_BLOCK``
+    overrides: ``off`` (unfused), ``pallas`` (force), ``pallas_full``
+    (also fuse the feedforward half, ops/attention_block.fused_ff_block).
     """
     import os
 
-    if os.environ.get("AUDSEP_BLOCK") == "pallas":
+    block_mode = os.environ.get("AUDSEP_BLOCK")
+    if block_mode is None:
+        # Default: both halves of every layer as fused Pallas kernels wherever
+        # they are available (TPU). Measured on the flagship forward (2×8 s
+        # chunk, bf16): 307 ms (attn+FF fused) vs 370 ms (attn fused only) vs
+        # 486 ms for the best unfused path (einsum-qkv + Pallas whole-seq
+        # attention) vs 638 ms for XLA einsum-softmax — the win is eliminating
+        # the HBM layout traffic between norm/qkv/RoPE/attention/gate/
+        # projection and around the FF matmuls. ``AUDSEP_BLOCK=off`` forces
+        # the unfused path, ``pallas`` fuses only the attention half.
+        block_mode = "pallas_full"
+    if block_mode in ("pallas", "pallas_full") and not linear:
         from ..ops.attention import _flash_available
-        from ..ops.attention_block import fused_attention_block
+        from ..ops.attention_block import fused_attention_block, fused_ff_block
 
         if _flash_available():
             b, n, d = x.shape
@@ -253,7 +309,12 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
                 x = fused_attention_block(
                     x, layer["wqkv"], layer["gate_w"], layer["gate_b"],
                     layer["wo"], layer["attn_norm"], rope_p, heads, n_valid=n)
-                x = x + _feedforward(layer, x)
+                if block_mode == "pallas_full":
+                    x = fused_ff_block(x, layer["ff_norm"], layer["ff_w1"],
+                                       layer["ff_b1"], layer["ff_w2"],
+                                       layer["ff_b2"])
+                else:
+                    x = x + _feedforward(layer, x)
             if pad:
                 x = x[:, :n]
             if "out_norm" in stack:
@@ -262,7 +323,10 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
 
     for j in range(inner_depth):
         layer = {k: v[j] for k, v in stack.items() if k != "out_norm"}
-        x = x + _attention(layer, x, heads, rope)
+        if linear:
+            x = x + _linear_attention(layer, x, heads)
+        else:
+            x = x + _attention(layer, x, heads, rope)
         x = x + _feedforward(layer, x)
     if "out_norm" in stack:
         x = _rmsnorm(x, stack["out_norm"])
@@ -361,7 +425,7 @@ def apply_roformer(
         if "linear" in lp:
             flat = x.reshape(b, tf * layout.n_bands, cfg.dim)
             flat = _transformer(lp["linear"], flat, heads,
-                                cfg.linear_transformer_depth, None)
+                                cfg.linear_transformer_depth, None, linear=True)
             x = flat.reshape(b, tf, layout.n_bands, cfg.dim)
         # time attention: tokens = frames, bands folded into batch
         xt = x.transpose(0, 2, 1, 3).reshape(b * layout.n_bands, tf, cfg.dim)

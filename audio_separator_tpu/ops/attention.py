@@ -126,6 +126,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return _einsum_attention(q, k, v, scale)
     if force == "pallas" and _flash_available():
         return _pallas_fused_attention(q, k, v, scale)
-    if n < 256 or n > 4096 or not _flash_available():
+    # Default: the whole-seq Pallas kernel for every shape it handles — on
+    # the flagship forward A/B it beat the einsum path for the long time axis
+    # AND the short (n=62, padded to 128) freq axis, whose einsum-softmax
+    # chain materialised large fp32 score tensors (486 ms vs 630 ms per
+    # 2×8 s chunk).
+    if n < 16 or n > 4096 or not _flash_available():
         return _einsum_attention(q, k, v, scale)
     return _pallas_fused_attention(q, k, v, scale)

@@ -29,6 +29,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _layer_kernel(x_ref, wqkv_ref, gate_w_ref, gate_b_ref, wo_ref,
@@ -95,6 +96,99 @@ def _layer_kernel(x_ref, wqkv_ref, gate_w_ref, gate_b_ref, wo_ref,
             merged, wo_ref[...], preferred_element_type=jnp.float32
         ).astype(xg.dtype)
         o_ref[g] = xg + proj
+
+
+def _erf32(x):
+    """erf for fp32 inside Mosaic kernels (erf/erfc primitives are not
+    lowered for TPU Pallas): Abramowitz & Stegun 7.1.26, |error| < 1.5e-7 —
+    far below bf16 activation precision and the parity-test tolerance."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """GELU(x) = x/2 · (1 + erf(x/√2)) (torch.nn.GELU default, matching the
+    reference FeedForward), with the in-kernel erf above."""
+    return 0.5 * x * (1.0 + _erf32(x * np.float32(1.0 / np.sqrt(2.0))))
+
+
+def _ff_kernel(x_ref, norm_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               *, group):
+    """x + ff(rmsnorm(x)); ff = GELU(x w1 + b1) w2 + b2 (exact erf GELU,
+    matching torch.nn.GELU / the reference FeedForward)."""
+    d_model = x_ref.shape[-1]
+    scale_norm = d_model ** 0.5
+    for g in range(group):
+        xg = x_ref[g]
+        xf = xg.astype(jnp.float32)
+        ssq = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        xn = (xf * jax.lax.rsqrt(jnp.maximum(ssq, 1e-24)) * scale_norm
+              * norm_ref[...]).astype(xg.dtype)
+        h = jax.lax.dot(
+            xn, w1_ref[...], preferred_element_type=jnp.float32
+        ) + b1_ref[...]
+        h = _gelu_exact(h).astype(xg.dtype)
+        y = jax.lax.dot(
+            h, w2_ref[...], preferred_element_type=jnp.float32
+        ) + b2_ref[...]
+        o_ref[g] = xg + y.astype(xg.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def fused_ff_block(
+    x: jnp.ndarray,  # (B, n_pad, d)
+    ff_norm: jnp.ndarray,  # (d,)
+    w1: jnp.ndarray,  # (d, hidden)
+    b1: jnp.ndarray,  # (hidden,)
+    w2: jnp.ndarray,  # (hidden, d)
+    b2: jnp.ndarray,  # (d,)
+    group: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x + FeedForward(rmsnorm(x)) in one Pallas launch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n_pad, d = x.shape
+    hidden = w1.shape[-1]
+    vmem_limit = 40 * 1024 * 1024
+    if group is None:
+        weights = 2 * (w1.size + w2.size)
+        # x/xn/out + fp32 copy + double-buffered IO + the (n_pad, hidden)
+        # activations in bf16 and fp32.
+        per_seq = 8 * 2 * n_pad * d + 3 * 2 * n_pad * hidden + 4 * n_pad * hidden
+        budget = int(vmem_limit * 0.85) - weights
+        group = max(1, min(16, budget // max(per_seq, 1)))
+    while b % group:
+        group -= 1
+
+    kernel = functools.partial(_ff_kernel, group=group)
+    seq_spec = pl.BlockSpec((group, n_pad, d), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def whole(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+    except AttributeError:  # older jax spelling
+        compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_limit)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b // group,),
+        in_specs=[seq_spec, whole(ff_norm), whole(w1), whole(b1), whole(w2),
+                  whole(b2)],
+        out_specs=seq_spec,
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(x, ff_norm, w1, b1, w2, b2)
 
 
 @functools.partial(

@@ -17,7 +17,7 @@ import numpy as np
 
 from .resample import resample_poly_np
 
-__all__ = ["time_stretch", "pitch_shift"]
+__all__ = ["time_stretch", "pitch_shift", "augment_audio"]
 
 
 def _stft_np(x: np.ndarray, n_fft: int, hop: int, win: np.ndarray) -> np.ndarray:
@@ -121,3 +121,39 @@ def pitch_shift(y: np.ndarray, sr: int, n_steps: float,
         out = np.pad(out, [(0, 0), (0, target - out.shape[-1])])
     out = out[..., :target].astype(np.float32)
     return out.T if frames_first else out[0]
+
+
+def augment_audio(
+    export_path: str,
+    audio_file: str,
+    rate: float,
+    is_normalization: bool = False,
+    bit_depth: int = 16,
+    is_pitch: bool = False,
+    is_time_correction: bool = True,
+) -> str:
+    """Offline augmentation: stretch or pitch-shift a file and write the result
+    (ref: spec_utils.augment_audio:793-820 — there via the rubberband CLI and
+    soundfile; here via the first-party phase vocoder and the native codec).
+
+    ``is_time_correction=False`` uses the resample trick (pitch + tempo change
+    together, written at the original rate); otherwise ``is_pitch`` selects
+    pitch-shift (constant tempo) vs time-stretch (constant pitch).
+    """
+    from ..io.audio import load_audio, save_audio
+    from .resample import change_pitch_semitones_np
+    from .spec import normalize, to_shape
+
+    pcm, sr = load_audio(audio_file, sample_rate=44100, channels=2)  # (C, T)
+    if not is_time_correction:
+        mix, _ = change_pitch_semitones_np(pcm, 44100, -rate)
+    elif is_pitch:
+        mix = pitch_shift(pcm.T, sr, rate).T
+    else:
+        chans = [time_stretch(ch, sr, rate) for ch in pcm]
+        longest = max(ch.shape[-1] for ch in chans)
+        mix = np.stack([to_shape(ch, (longest,)) for ch in chans])
+    if is_normalization:
+        mix = normalize(mix)
+    save_audio(export_path, mix.astype(np.float32), sr, bit_depth=bit_depth)
+    return export_path

@@ -124,3 +124,53 @@ class FileJobStore(InMemoryJobStore):
             except (OSError, json.JSONDecodeError):
                 continue
         return removed
+
+
+class FirestoreJobStore(InMemoryJobStore):
+    """Firestore-backed store so any serving instance can read/write status
+    (ref: remote/job_store.py:14-73 — same collection layout and stale-job
+    cleanup semantics, adapted to this package's store interface).
+
+    Requires ``google-cloud-firestore``; the client import is deferred to
+    construction so the module stays importable without it. ``client`` can be
+    injected (tests / emulators).
+    """
+
+    COLLECTION = "audio_separation_jobs"
+
+    def __init__(self, project: Optional[str] = None, client=None,
+                 collection: Optional[str] = None):
+        super().__init__()
+        if client is None:
+            from google.cloud import firestore  # deferred heavy/optional dep
+
+            client = firestore.Client(project=project)
+        self._db = client
+        self._collection = client.collection(collection or self.COLLECTION)
+
+    def set_job_status(self, task_id: str, status_data: dict) -> None:
+        data = {**status_data, "_updated_at": time.time()}
+        self._collection.document(task_id).set(data)
+
+    def get_job_status(self, task_id: str) -> Optional[dict]:
+        doc = self._collection.document(task_id).get()
+        return doc.to_dict() if getattr(doc, "exists", False) else None
+
+    def update_job_status(self, task_id: str, updates: dict) -> None:
+        doc_ref = self._collection.document(task_id)
+        fields = {**updates, "_updated_at": time.time()}
+        try:
+            doc_ref.update(fields)
+        except Exception:  # document may not exist yet (ref: merge-create)
+            doc_ref.set(fields)
+
+    def delete_job(self, task_id: str) -> None:
+        self._collection.document(task_id).delete()
+
+    def cleanup_old_jobs(self, max_age_seconds: float = 86400.0) -> int:
+        cutoff = time.time() - max_age_seconds
+        removed = 0
+        for doc in self._collection.where("_updated_at", "<", cutoff).stream():
+            doc.reference.delete()
+            removed += 1
+        return removed

@@ -42,3 +42,36 @@ class LocalOutputStore:
 
     def delete_task_outputs(self, task_id: str) -> None:
         shutil.rmtree(self._task_dir(task_id), ignore_errors=True)
+
+
+class GCSOutputStore:
+    """GCS-backed outputs so any serving instance can serve downloads
+    (ref: remote/output_store.py:11-58), adapted to this package's store
+    interface. Requires ``google-cloud-storage`` unless a ``bucket`` is
+    injected (tests / emulators)."""
+
+    def __init__(self, bucket_name: Optional[str] = None,
+                 project: Optional[str] = None, bucket=None):
+        if bucket is None:
+            from google.cloud import storage  # deferred heavy/optional dep
+
+            client = storage.Client(project=project)
+            bucket = client.bucket(bucket_name)
+        self._bucket = bucket
+
+    def upload_file(self, task_id: str, local_path: str) -> str:
+        gcs_path = f"{task_id}/{os.path.basename(local_path)}"
+        self._bucket.blob(gcs_path).upload_from_filename(local_path)
+        return gcs_path
+
+    def download_file(self, task_id: str, filename: str) -> bytes:
+        return self._bucket.blob(f"{task_id}/{filename}").download_as_bytes()
+
+    def list_files(self, task_id: str) -> List[str]:
+        names = [b.name.split("/", 1)[1]
+                 for b in self._bucket.list_blobs(prefix=f"{task_id}/")]
+        return sorted(names)
+
+    def delete_task_outputs(self, task_id: str) -> None:
+        for blob in list(self._bucket.list_blobs(prefix=f"{task_id}/")):
+            blob.delete()

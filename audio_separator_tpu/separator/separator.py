@@ -76,6 +76,8 @@ class Separator:
         sample_rate=44100,
         use_soundfile=False,
         use_autocast=False,
+        use_directml=False,  # accepted for API parity (ref: separator.py:121);
+                             # no DirectML on TPU hosts — ignored with a warning
         chunk_duration=None,
         mdx_params=None,
         vr_params=None,
@@ -130,6 +132,9 @@ class Separator:
         self.sample_rate = int(sample_rate)
         self.use_soundfile = use_soundfile
         self.use_autocast = use_autocast
+        if use_directml:
+            self.logger.warning(
+                "use_directml is ignored: this build targets TPU via JAX/XLA")
         self.chunk_duration = chunk_duration
         self.trace_dir = trace_dir
         self.use_mesh = use_mesh

@@ -74,3 +74,25 @@ def test_fused_attention_block_matches_reference(n, b, rope, group):
         xp, p["wqkv"], p["gate_w"], p["gate_b"], p["wo"], p["attn_norm"],
         rope_p, h, n_valid=n, group=group, interpret=True))[:, :n]
     np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_fused_ff_block_matches_reference():
+    """Fused Pallas FF block (norm+w1+GELU+w2+residual) == composed JAX ops."""
+    from audio_separator_tpu.models.roformer import _feedforward
+    from audio_separator_tpu.ops.attention_block import fused_ff_block
+
+    b, n, d, hidden = 3, 128, 64, 256
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32) * 0.3)
+    p = {
+        "ff_norm": jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1 + 1.0),
+        "ff_w1": jnp.asarray(rng.standard_normal((d, hidden)).astype(np.float32) * 0.05),
+        "ff_b1": jnp.asarray(rng.standard_normal(hidden).astype(np.float32) * 0.05),
+        "ff_w2": jnp.asarray(rng.standard_normal((hidden, d)).astype(np.float32) * 0.05),
+        "ff_b2": jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.05),
+    }
+    ref = np.asarray(x + _feedforward(p, x))
+    got = np.asarray(fused_ff_block(x, p["ff_norm"], p["ff_w1"], p["ff_b1"],
+                                    p["ff_w2"], p["ff_b2"], group=3,
+                                    interpret=True))
+    np.testing.assert_allclose(got, ref, atol=3e-5)

@@ -142,3 +142,109 @@ def test_remote_real_separation_end_to_end(tmp_path):
             assert sr == SR and np.isfinite(pcm).all()
     finally:
         server.shutdown()
+
+
+def test_firestore_job_store_with_fake_client():
+    """FirestoreJobStore maps the store interface onto a Firestore client
+    (ref: remote/job_store.py:14-73) — exercised against an in-memory fake."""
+    import time as _time
+
+    from audio_separator_tpu.remote.job_store import FirestoreJobStore
+
+    docs = {}
+
+    class FakeDoc:
+        def __init__(self, key):
+            self.key = key
+            self.reference = self
+
+        @property
+        def exists(self):
+            return self.key in docs
+
+        def to_dict(self):
+            return dict(docs[self.key])
+
+        def get(self):
+            return self
+
+        def set(self, data):
+            docs[self.key] = dict(data)
+
+        def update(self, fields):
+            if self.key not in docs:
+                raise KeyError(self.key)
+            docs[self.key].update(fields)
+
+        def delete(self):
+            docs.pop(self.key, None)
+
+    class FakeCollection:
+        def document(self, task_id):
+            return FakeDoc(task_id)
+
+        def where(self, field, op, value):
+            assert (field, op) == ("_updated_at", "<")
+            hits = [FakeDoc(k) for k, v in list(docs.items())
+                    if v.get("_updated_at", 0) < value]
+
+            class Q:
+                def stream(self_q):
+                    return iter(hits)
+
+            return Q()
+
+    class FakeClient:
+        def collection(self, name):
+            return FakeCollection()
+
+    store = FirestoreJobStore(client=FakeClient())
+    store.set_job_status("t1", {"status": "processing", "progress": 10})
+    assert store.get_job_status("t1")["progress"] == 10
+    store.update_job_status("t1", {"progress": 80})
+    assert store.get_job_status("t1")["progress"] == 80
+    store.update_job_status("t2", {"status": "queued"})  # create-on-update
+    assert store.get_job_status("t2")["status"] == "queued"
+    docs["t1"]["_updated_at"] = _time.time() - 99999
+    assert store.cleanup_old_jobs(3600) == 1
+    assert store.get_job_status("t1") is None
+    store.delete_job("t2")
+    assert store.get_job_status("t2") is None
+
+
+def test_gcs_output_store_with_fake_bucket(tmp_path):
+    """GCSOutputStore maps the store interface onto a GCS bucket
+    (ref: remote/output_store.py:11-58) — exercised against a fake bucket."""
+    from audio_separator_tpu.remote.output_store import GCSOutputStore
+
+    blobs = {}
+
+    class FakeBlob:
+        def __init__(self, name):
+            self.name = name
+
+        def upload_from_filename(self, path):
+            with open(path, "rb") as f:
+                blobs[self.name] = f.read()
+
+        def download_as_bytes(self):
+            return blobs[self.name]
+
+        def delete(self):
+            blobs.pop(self.name, None)
+
+    class FakeBucket:
+        def blob(self, name):
+            return FakeBlob(name)
+
+        def list_blobs(self, prefix=""):
+            return [FakeBlob(n) for n in sorted(blobs) if n.startswith(prefix)]
+
+    store = GCSOutputStore(bucket=FakeBucket())
+    src = tmp_path / "vocals.wav"
+    src.write_bytes(b"RIFFdata")
+    assert store.upload_file("task9", str(src)) == "task9/vocals.wav"
+    assert store.list_files("task9") == ["vocals.wav"]
+    assert store.download_file("task9", "vocals.wav") == b"RIFFdata"
+    store.delete_task_outputs("task9")
+    assert store.list_files("task9") == []

@@ -28,6 +28,19 @@ def _bs_config():
     )
 
 
+def _bs_linear_config():
+    """BS variant with a LinearAttention pre-stage per depth
+    (ref: bs_roformer.py:376-377, linear_transformer_depth > 0)."""
+    return RoformerConfig(
+        kind="bs", dim=64, depth=2, stereo=True, num_stems=1,
+        time_transformer_depth=1, freq_transformer_depth=1,
+        linear_transformer_depth=1,
+        freqs_per_bands=(2, 2, 4, 8, 16, 32, 64, 129),
+        dim_head=16, heads=4, stft_n_fft=512, stft_hop_length=128,
+        stft_win_length=512, mask_estimator_depth=2,
+    )
+
+
 def _mel_config():
     return RoformerConfig(
         kind="mel", dim=48, depth=2, stereo=True, num_stems=1,
@@ -49,7 +62,8 @@ def _band_bins(cfg):
     return [list(np.nonzero(member[i])[0]) for i in range(cfg.num_bands)]
 
 
-@pytest.mark.parametrize("cfg_fn", [_bs_config, _mel_config], ids=["bs", "mel"])
+@pytest.mark.parametrize("cfg_fn", [_bs_config, _bs_linear_config, _mel_config],
+                         ids=["bs", "bs_linear", "mel"])
 def test_roformer_matches_torch_oracle(cfg_fn):
     cfg = cfg_fn()
     torch.manual_seed(0)
@@ -59,7 +73,7 @@ def test_roformer_matches_torch_oracle(cfg_fn):
         num_stems=cfg.num_stems, t_depth=cfg.time_transformer_depth,
         f_depth=cfg.freq_transformer_depth, n_fft=cfg.stft_n_fft,
         hop=cfg.stft_hop_length, mask_depth=cfg.mask_estimator_depth,
-        mult=cfg.mlp_expansion_factor,
+        mult=cfg.mlp_expansion_factor, lin_depth=cfg.linear_transformer_depth,
     ).eval()
     # Randomise weights (default inits are partly degenerate, e.g. ones).
     with torch.no_grad():

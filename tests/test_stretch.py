@@ -57,3 +57,30 @@ def test_pitch_shift_moves_frequency_keeps_length():
 def test_pitch_shift_zero_is_identity():
     y = np.random.default_rng(1).standard_normal(4096).astype(np.float32)
     np.testing.assert_allclose(pitch_shift(y, 44100, 0.0), y, atol=1e-7)
+
+
+def test_augment_audio_file_roundtrip(tmp_path):
+    """augment_audio (ref: spec_utils.augment_audio) writes a stretched file."""
+    from audio_separator_tpu.io.audio import load_audio, save_audio
+    from audio_separator_tpu.ops.stretch import augment_audio
+
+    sr = 44100
+    t = np.arange(sr * 2) / sr
+    y = np.stack([np.sin(2 * np.pi * 220 * t), np.sin(2 * np.pi * 330 * t)]
+                 ).astype(np.float32) * 0.5
+    src = str(tmp_path / "in.wav")
+    save_audio(src, y, sr)
+
+    # time stretch: 2x speed -> half duration
+    out_path = augment_audio(str(tmp_path / "fast.wav"), src, 2.0)
+    pcm, out_sr = load_audio(out_path)
+    assert out_sr == sr and pcm.shape[0] == 2
+    assert abs(pcm.shape[1] - sr) < 4096
+
+    # resample-trick pitch path keeps playback rate, changes length
+    out2 = augment_audio(str(tmp_path / "pitched.wav"), src, 2.0,
+                         is_time_correction=False, is_normalization=True)
+    pcm2, sr2 = load_audio(out2)
+    assert sr2 == sr and pcm2.shape[0] == 2
+    assert pcm2.shape[1] > pcm.shape[1]  # -2 semitones -> longer
+    assert np.abs(pcm2).max() <= 1.0 + 1e-3

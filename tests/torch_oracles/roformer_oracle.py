@@ -66,6 +66,34 @@ class Attention(nn.Module):
         return self.to_out(out.permute(0, 2, 1, 3).reshape(b, n, h * dh))
 
 
+class LinearAttention(nn.Module):
+    """XCiT-style cross-covariance attention; state_dict keys match the
+    reference LinearAttention (norm.gamma, to_qkv.0.weight, temperature,
+    to_out.1.weight)."""
+
+    def __init__(self, dim, heads, dim_head, scale=8):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads, self.dim_head, self.scale = heads, dim_head, scale
+        self.norm = RMSNorm(dim)
+        self.to_qkv = nn.Sequential(nn.Linear(dim, inner * 3, bias=False))
+        self.temperature = nn.Parameter(torch.ones(heads, 1, 1))
+        self.to_out = nn.Sequential(nn.Identity(), nn.Linear(inner, dim, bias=False))
+
+    def forward(self, x, rope=None):
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        xn = self.norm(x)
+        qkv = self.to_qkv(xn).reshape(b, n, 3, h, dh).permute(2, 0, 3, 4, 1)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (b, h, dh, n)
+        q, k = F.normalize(q, dim=-1), F.normalize(k, dim=-1)
+        q = q * self.temperature.exp()
+        attn = torch.softmax(q @ k.transpose(-1, -2) * self.scale, dim=-1)
+        out = attn @ v  # (b, h, dh, n)
+        out = out.permute(0, 3, 1, 2).reshape(b, n, h * dh)
+        return self.to_out(out)
+
+
 class FeedForward(nn.Module):
     def __init__(self, dim, mult=4):
         super().__init__()
@@ -80,10 +108,11 @@ class FeedForward(nn.Module):
 
 
 class Transformer(nn.Module):
-    def __init__(self, dim, depth, heads, dim_head, norm_output):
+    def __init__(self, dim, depth, heads, dim_head, norm_output, linear=False):
         super().__init__()
+        attn_cls = LinearAttention if linear else Attention
         self.layers = nn.ModuleList(
-            [nn.ModuleList([Attention(dim, heads, dim_head), FeedForward(dim)])
+            [nn.ModuleList([attn_cls(dim, heads, dim_head), FeedForward(dim)])
              for _ in range(depth)]
         )
         self.norm = RMSNorm(dim) if norm_output else nn.Identity()
@@ -112,8 +141,10 @@ class RoformerOracle(nn.Module):
     """
 
     def __init__(self, kind, band_bins, dim, depth, heads, dim_head, stereo,
-                 num_stems, t_depth, f_depth, n_fft, hop, mask_depth, mult=4):
+                 num_stems, t_depth, f_depth, n_fft, hop, mask_depth, mult=4,
+                 lin_depth=0):
         super().__init__()
+        self.lin_depth = lin_depth
         self.kind, self.band_bins = kind, band_bins
         self.n_fft, self.hop = n_fft, hop
         self.stereo, self.num_stems = stereo, num_stems
@@ -129,10 +160,13 @@ class RoformerOracle(nn.Module):
         )
         norm_output = kind == "mel"
         self.layers = nn.ModuleList(
-            [nn.ModuleList([
-                Transformer(dim, t_depth, heads, dim_head, norm_output),
-                Transformer(dim, f_depth, heads, dim_head, norm_output),
-            ]) for _ in range(depth)]
+            [nn.ModuleList(
+                ([Transformer(dim, lin_depth, heads, dim_head, norm_output,
+                              linear=True)] if lin_depth else [])
+                + [
+                    Transformer(dim, t_depth, heads, dim_head, norm_output),
+                    Transformer(dim, f_depth, heads, dim_head, norm_output),
+                ]) for _ in range(depth)]
         )
         if kind == "bs":
             self.final_norm = RMSNorm(dim)
@@ -168,7 +202,13 @@ class RoformerOracle(nn.Module):
         t_rope = rope_tables(tf, self.dim_head, x.device)
         f_rope = rope_tables(nb, self.dim_head, x.device)
         dim = x.shape[-1]
-        for time_tr, freq_tr in self.layers:
+        for trans in self.layers:
+            if self.lin_depth:
+                lin_tr, time_tr, freq_tr = trans
+                flat = x.reshape(b, tf * nb, dim)
+                x = lin_tr(flat).reshape(b, tf, nb, dim)
+            else:
+                time_tr, freq_tr = trans
             xt = x.permute(0, 2, 1, 3).reshape(b * nb, tf, dim)
             xt = time_tr(xt, t_rope)
             x = xt.reshape(b, nb, tf, dim).permute(0, 2, 1, 3)
