@@ -297,7 +297,15 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
 
         if _flash_available():
             b, n, d = x.shape
-            pad = (-n) % 128
+            # Pad the token axis for the kernels to a 64-multiple. Tokens are
+            # the *sublane* dim of every in-kernel matmul (granularity 8/16,
+            # not the 128-lane rule), so 64 suffices — measured on the
+            # flagship forward it cut 306 ms → 216 ms per 2×8 s chunk vs
+            # 128-padding (freq axis 62→64 instead of 62→128 halves that
+            # half's matmul work; time axis 801→832 instead of 896 saves 7%).
+            # AUDSEP_SEQ_PAD overrides the granularity for A/B.
+            gran = int(os.environ.get("AUDSEP_SEQ_PAD", "0")) or 64
+            pad = (-n) % gran
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
             rope_p = rope

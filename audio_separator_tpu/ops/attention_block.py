@@ -213,7 +213,10 @@ def fused_attention_block(
     from jax.experimental.pallas import tpu as pltpu
 
     b, n_pad, d = x.shape
-    assert n_pad % 128 == 0, "caller pads the sequence axis to 128"
+    # Tokens are the sublane dim of the in-kernel matmuls (granularity 8 fp32
+    # / 16 bf16); 64 keeps short freq-band sequences at half the padded work
+    # of a full 128-lane tile.
+    assert n_pad % 64 == 0, "caller pads the sequence axis to a 64-multiple"
     dh = wqkv.shape[-1] // (3 * heads)
 
     # The kernel's working set at flagship time-attention shapes (n_pad=896,

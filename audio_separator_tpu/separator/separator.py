@@ -168,7 +168,7 @@ class Separator:
                 "segments_enabled": True},
             "MDXC": mdxc_params if mdxc_params is not None else {
                 "segment_size": 256, "override_model_segment_size": False,
-                "batch_size": 1, "overlap": 8, "pitch_shift": 0},
+                "batch_size": 4, "overlap": 8, "pitch_shift": 0},
         }
 
         self.registry = ModelRegistry(self.model_file_dir, self.logger)

@@ -112,7 +112,7 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
     mdxc.add_argument("--mdxc_segment_size", type=int, default=256)
     mdxc.add_argument("--mdxc_override_model_segment_size", action="store_true")
     mdxc.add_argument("--mdxc_overlap", type=int, default=8)
-    mdxc.add_argument("--mdxc_batch_size", type=int, default=1)
+    mdxc.add_argument("--mdxc_batch_size", type=int, default=4)
     mdxc.add_argument("--mdxc_pitch_shift", type=int, default=0)
     return parser
 

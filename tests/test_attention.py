@@ -44,9 +44,11 @@ def test_pallas_kernel_freq_shape_matches_einsum():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
-@pytest.mark.parametrize("n,b,rope,group", [(100, 4, True, 2), (62, 6, False, 3),
-                                            (130, 2, True, 1)])
-def test_fused_attention_block_matches_reference(n, b, rope, group):
+@pytest.mark.parametrize("n,b,rope,group,gran", [
+    (100, 4, True, 2, 128), (62, 6, False, 3, 128), (130, 2, True, 1, 128),
+    (62, 6, True, 3, 64),  # freq-axis shape at the cheaper 64-row padding
+])
+def test_fused_attention_block_matches_reference(n, b, rope, group, gran):
     """Fused Pallas block (norm+qkv+RoPE+attn+gate+proj+residual) == the
     composed JAX ops, with sequence padding and key-column masking."""
     from audio_separator_tpu.models.roformer import _attention, _rope_tables
@@ -64,7 +66,7 @@ def test_fused_attention_block_matches_reference(n, b, rope, group):
     }
     tables = _rope_tables(n, dh) if rope else None
     ref = np.asarray(x + _attention(p, x, h, tables))
-    pad = (-n) % 128
+    pad = (-n) % gran
     xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
     rope_p = None
     if rope:
