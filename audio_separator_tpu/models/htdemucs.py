@@ -472,11 +472,18 @@ def _mha(p, q, k, v, heads):
     qh = (q @ wq.T + bq).reshape(b, tq, heads, dh).transpose(0, 2, 1, 3)
     kh = (k @ wk.T + bk).reshape(b, k.shape[1], heads, dh).transpose(0, 2, 1, 3)
     vh = (v @ wv.T + bv).reshape(b, v.shape[1], heads, dh).transpose(0, 2, 1, 3)
-    sim = jnp.einsum("bhid,bhjd->bhij", qh, kh,
-                     preferred_element_type=jnp.float32) * (dh ** -0.5)
-    attn = jax.nn.softmax(sim, axis=-1).astype(vh.dtype)
-    out = jnp.einsum("bhij,bhjd->bhid", attn, vh,
-                     preferred_element_type=jnp.float32).astype(q.dtype)
+    if qh.shape == kh.shape:
+        # Self-attention (and square cross-attention): shared dispatch —
+        # whole-sequence Pallas kernel on TPU, fused einsum chain elsewhere.
+        from ..ops.attention import dot_product_attention
+
+        out = dot_product_attention(qh, kh, vh).astype(q.dtype)
+    else:
+        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh,
+                         preferred_element_type=jnp.float32) * (dh ** -0.5)
+        attn = jax.nn.softmax(sim, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, vh,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, e)
     return _linear(p["out_proj"], out)
 
