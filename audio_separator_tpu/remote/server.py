@@ -72,11 +72,13 @@ def _to_bool(value: str) -> bool:
 class SeparatorService:
     """Job queue + worker running the Separator on this host."""
 
-    def __init__(self, work_dir: Optional[str] = None, model_file_dir: Optional[str] = None):
+    def __init__(self, work_dir: Optional[str] = None, model_file_dir: Optional[str] = None,
+                 job_store=None, output_store=None):
         self.work_dir = work_dir or tempfile.mkdtemp(prefix="audio-separator-remote-")
         self.model_file_dir = model_file_dir
-        self.jobs = InMemoryJobStore()
-        self.outputs = LocalOutputStore(os.path.join(self.work_dir, "outputs"))
+        self.jobs = job_store if job_store is not None else InMemoryJobStore()
+        self.outputs = (output_store if output_store is not None
+                        else LocalOutputStore(os.path.join(self.work_dir, "outputs")))
         self.uploads_dir = os.path.join(self.work_dir, "uploads")
         os.makedirs(self.uploads_dir, exist_ok=True)
         self._queue: Queue = Queue()
@@ -321,10 +323,40 @@ def make_handler(service: SeparatorService):
     return Handler
 
 
+def _stores_from_env(work_dir: str):
+    """Cloud-deployment store wiring via env (ref: deploy_cloudrun.py's
+    Firestore/GCS setup, deploy_modal.py's volume-backed stores):
+
+      AUDSEP_JOB_STORE    = memory (default) | file | firestore
+      AUDSEP_OUTPUT_STORE = local (default) | gcs
+      AUDSEP_GCS_BUCKET / AUDSEP_GCP_PROJECT — for the cloud backends
+    """
+    from .job_store import FileJobStore, FirestoreJobStore
+    from .output_store import GCSOutputStore
+
+    project = os.environ.get("AUDSEP_GCP_PROJECT") or None
+    kind = os.environ.get("AUDSEP_JOB_STORE", "memory")
+    if kind == "file":
+        jobs = FileJobStore(os.path.join(work_dir, "jobs"))
+    elif kind == "firestore":
+        jobs = FirestoreJobStore(project=project)
+    else:
+        jobs = InMemoryJobStore()
+    if os.environ.get("AUDSEP_OUTPUT_STORE", "local") == "gcs":
+        outputs = GCSOutputStore(
+            bucket_name=os.environ.get("AUDSEP_GCS_BUCKET"), project=project)
+    else:
+        outputs = LocalOutputStore(os.path.join(work_dir, "outputs"))
+    return jobs, outputs
+
+
 def serve(host: str = "0.0.0.0", port: int = 8000,
           model_file_dir: Optional[str] = None,
           work_dir: Optional[str] = None) -> ThreadingHTTPServer:
-    service = SeparatorService(work_dir=work_dir, model_file_dir=model_file_dir)
+    work_dir = work_dir or tempfile.mkdtemp(prefix="audio-separator-remote-")
+    jobs, outputs = _stores_from_env(work_dir)
+    service = SeparatorService(work_dir=work_dir, model_file_dir=model_file_dir,
+                               job_store=jobs, output_store=outputs)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.service = service  # type: ignore[attr-defined]
     return server
@@ -335,7 +367,10 @@ def main():
 
     parser = argparse.ArgumentParser(description="audio-separator remote API server")
     parser.add_argument("--host", default="0.0.0.0")
-    parser.add_argument("--port", type=int, default=8000)
+    # PORT env fallback follows the Cloud Run convention
+    # (ref: deploy_cloudrun.py service entry).
+    parser.add_argument("--port", type=int,
+                        default=int(os.environ.get("PORT", 8000)))
     parser.add_argument("--model_file_dir", default=None)
     parser.add_argument("--work_dir", default=None)
     args = parser.parse_args()

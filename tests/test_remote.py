@@ -248,3 +248,19 @@ def test_gcs_output_store_with_fake_bucket(tmp_path):
     assert store.download_file("task9", "vocals.wav") == b"RIFFdata"
     store.delete_task_outputs("task9")
     assert store.list_files("task9") == []
+
+
+def test_server_store_wiring_from_env(tmp_path, monkeypatch):
+    """AUDSEP_JOB_STORE/AUDSEP_OUTPUT_STORE select the backing stores
+    (Cloud Run-style deployment wiring, ref: deploy_cloudrun.py setup)."""
+    from audio_separator_tpu.remote.job_store import FileJobStore
+    from audio_separator_tpu.remote.output_store import LocalOutputStore
+    from audio_separator_tpu.remote.server import _stores_from_env
+
+    monkeypatch.setenv("AUDSEP_JOB_STORE", "file")
+    monkeypatch.delenv("AUDSEP_OUTPUT_STORE", raising=False)
+    jobs, outputs = _stores_from_env(str(tmp_path))
+    assert isinstance(jobs, FileJobStore)
+    assert isinstance(outputs, LocalOutputStore)
+    jobs.set_job_status("t", {"status": "queued"})
+    assert jobs.get_job_status("t")["status"] == "queued"
