@@ -303,8 +303,10 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
             # flagship forward it cut 306 ms → 216 ms per 2×8 s chunk vs
             # 128-padding (freq axis 62→64 instead of 62→128 halves that
             # half's matmul work; time axis 801→832 instead of 896 saves 7%).
-            # AUDSEP_SEQ_PAD overrides the granularity for A/B.
+            # AUDSEP_SEQ_PAD overrides the granularity for A/B (rounded up
+            # to a 64-multiple: the fused kernels assert n_pad % 64 == 0).
             gran = int(os.environ.get("AUDSEP_SEQ_PAD", "0")) or 64
+            gran = -(-gran // 64) * 64
             pad = (-n) % gran
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))

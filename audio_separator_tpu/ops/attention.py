@@ -63,6 +63,18 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid, scale, group
         ).astype(o_ref.dtype)
 
 
+_VMEM_LIMIT = 40 * 1024 * 1024
+
+
+def _whole_seq_fits(n: int, d: int) -> bool:
+    """Can the whole-sequence kernel hold one sequence's working set in VMEM
+    (raised 40 MB scoped limit)? Three (n_pad, n_pad) temporaries dominate:
+    two fp32 score tensors plus the int32 key-column mask iota."""
+    n_pad = n + (-n) % 128
+    per_seq = 4 * 2 * n_pad * d * 2  # q/k/v/o, double-buffered, bf16
+    return 3 * 4 * n_pad * n_pad + per_seq <= int(_VMEM_LIMIT * 0.85)
+
+
 def _pallas_fused_attention(q, k, v, scale, group: Optional[int] = None,
                             interpret: bool = False):
     import functools as ft
@@ -80,9 +92,9 @@ def _pallas_fused_attention(q, k, v, scale, group: Optional[int] = None,
         v = jnp.pad(v, widths)
     bh = b * h
     if group is None:
-        # Fit VMEM (~16 MB on v5e): double-buffered q/k/v/o blocks + two
+        # Fit the raised VMEM limit: double-buffered q/k/v/o blocks + two
         # fp32 score-sized temporaries.
-        budget = 13 * 1024 * 1024 - 2 * 4 * n_pad * n_pad
+        budget = int(_VMEM_LIMIT * 0.85) - 2 * 4 * n_pad * n_pad
         per_seq = 4 * 2 * n_pad * d * 2  # 4 buffers, double-buffered, bf16
         group = max(1, min(8, budget // max(per_seq, 1)))
     while bh % group:
@@ -95,12 +107,17 @@ def _pallas_fused_attention(q, k, v, scale, group: Optional[int] = None,
                         group=group)
     spec = pl.BlockSpec((group, n_pad, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    except AttributeError:  # older jax spelling
+        compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
         grid=(bh // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(qf, kf, vf)
     out = out.reshape(b, h, n_pad, d)
@@ -126,11 +143,14 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return _einsum_attention(q, k, v, scale)
     if force == "pallas" and _flash_available():
         return _pallas_fused_attention(q, k, v, scale)
-    # Default: the whole-seq Pallas kernel for every shape it handles — on
-    # the flagship forward A/B it beat the einsum path for the long time axis
-    # AND the short (n=62, padded to 128) freq axis, whose einsum-softmax
-    # chain materialised large fp32 score tensors (486 ms vs 630 ms per
-    # 2×8 s chunk).
-    if n < 16 or n > 4096 or not _flash_available():
+    # Default: the whole-seq Pallas kernel for every shape whose working set
+    # (dominated by the two fp32 (n_pad, n_pad) score temporaries) fits the
+    # raised VMEM limit — on the flagship forward A/B it beat the einsum path
+    # for the long time axis AND the short (n=62, padded to 128) freq axis,
+    # whose einsum-softmax chain materialised large fp32 score tensors
+    # (486 ms vs 630 ms per 2×8 s chunk). Longer sequences (e.g. the
+    # HTDemucs cross-transformer at ~10 s training segments, n ≈ 3400) fall
+    # back to einsum rather than overflow VMEM.
+    if n < 16 or not _whole_seq_fits(n, q.shape[-1]) or not _flash_available():
         return _einsum_attention(q, k, v, scale)
     return _pallas_fused_attention(q, k, v, scale)

@@ -161,8 +161,11 @@ class FirestoreJobStore(InMemoryJobStore):
         fields = {**updates, "_updated_at": time.time()}
         try:
             doc_ref.update(fields)
-        except Exception:  # document may not exist yet (ref: merge-create)
-            doc_ref.set(fields)
+        except Exception:
+            # Document may not exist yet — merge-create. merge=True also
+            # guarantees a transient update() failure can never wipe existing
+            # fields (a plain set() here would replace the whole document).
+            doc_ref.set(fields, merge=True)
 
     def delete_job(self, task_id: str) -> None:
         self._collection.document(task_id).delete()

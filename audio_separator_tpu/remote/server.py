@@ -170,7 +170,7 @@ class SeparatorService:
                 "override_model_segment_size": _to_bool(
                     fields.get("mdxc_override_model_segment_size", "false")),
                 "overlap": int(fields.get("mdxc_overlap", 8)),
-                "batch_size": int(fields.get("mdxc_batch_size", 1)),
+                "batch_size": int(fields.get("mdxc_batch_size", 4)),
                 "pitch_shift": int(fields.get("mdxc_pitch_shift", 0)),
             },
         )

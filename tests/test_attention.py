@@ -25,10 +25,28 @@ def test_pallas_kernel_matches_einsum(n, group):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
-def test_dispatch_small_seq_uses_einsum():
-    q = jnp.ones((1, 2, 32, 16))
-    out = dot_product_attention(q, q, q)
-    assert out.shape == (1, 2, 32, 16)
+def test_dispatch_boundaries(monkeypatch):
+    """n < 16 and VMEM-overflowing n stay on einsum; in-range n takes the
+    Pallas kernel when the TPU backend is available."""
+    from audio_separator_tpu.ops import attention as att
+
+    calls = []
+    monkeypatch.setattr(att, "_flash_available", lambda: True)
+    monkeypatch.setattr(att, "_pallas_fused_attention",
+                        lambda q, k, v, scale: calls.append(q.shape[2]) or
+                        jnp.zeros_like(q))
+
+    def run(n):
+        q = jnp.ones((1, 2, n, 64))
+        return att.dot_product_attention(q, q, q)
+
+    run(8)          # below the minimum → einsum
+    assert calls == []
+    run(32)         # in range → kernel
+    assert calls == [32]
+    run(4096)       # score temporaries would blow the 40 MB VMEM limit
+    assert calls == [32]
+    assert att._whole_seq_fits(1536, 64) and not att._whole_seq_fits(2048, 64)
 
 
 def test_pallas_kernel_freq_shape_matches_einsum():

@@ -13,6 +13,7 @@ from audio_separator_tpu.ops.losses import (multi_res_stft_loss,
 
 def _torch_loss(recon, target, stft_n_fft=2048,
                 window_sizes=(4096, 2048, 1024, 512, 256), hop=147):
+    """(l1, multi-res) per the reference formula; complex L1 = mean |a−b|."""
     recon_t = torch.from_numpy(recon)
     target_t = torch.from_numpy(target)[..., : recon.shape[-1]]
     loss = F.l1_loss(recon_t, target_t)
@@ -23,7 +24,7 @@ def _torch_loss(recon, target, stft_n_fft=2048,
                   window=torch.hann_window(w), return_complex=True)
         ry = torch.stft(recon_t.reshape(-1, recon_t.shape[-1]), **kw)
         ty = torch.stft(target_t.reshape(-1, target_t.shape[-1]), **kw)
-        multi = multi + F.l1_loss(torch.view_as_real(ry), torch.view_as_real(ty))
+        multi = multi + (ry - ty).abs().mean()
     return float(loss), float(multi)
 
 
@@ -36,26 +37,8 @@ def test_multi_res_stft_loss_matches_torch():
     total, (base, multi) = roformer_training_loss(
         jnp.asarray(recon), jnp.asarray(target))
     np.testing.assert_allclose(float(base), ref_l1, rtol=1e-5)
-    # torch's complex l1 = mean |a-b| over complex entries; view_as_real l1
-    # averages |re|+|im| over 2x entries — compare against the complex form.
-    ref_complex = _torch_complex_multi(recon, target)
-    np.testing.assert_allclose(float(multi), ref_complex, rtol=1e-4)
-    np.testing.assert_allclose(float(total), ref_l1 + ref_complex, rtol=1e-4)
-
-
-def _torch_complex_multi(recon, target, stft_n_fft=2048,
-                         window_sizes=(4096, 2048, 1024, 512, 256), hop=147):
-    recon_t = torch.from_numpy(recon)
-    target_t = torch.from_numpy(target)[..., : recon.shape[-1]]
-    multi = 0.0
-    for w in window_sizes:
-        n_fft = max(w, stft_n_fft)
-        kw = dict(n_fft=n_fft, win_length=w, hop_length=hop,
-                  window=torch.hann_window(w), return_complex=True)
-        ry = torch.stft(recon_t.reshape(-1, recon_t.shape[-1]), **kw)
-        ty = torch.stft(target_t.reshape(-1, target_t.shape[-1]), **kw)
-        multi = multi + (ry - ty).abs().mean()
-    return float(multi)
+    np.testing.assert_allclose(float(multi), ref_multi, rtol=1e-4)
+    np.testing.assert_allclose(float(total), ref_l1 + ref_multi, rtol=1e-4)
 
 
 def test_loss_is_differentiable():

@@ -168,8 +168,11 @@ def test_firestore_job_store_with_fake_client():
         def get(self):
             return self
 
-        def set(self, data):
-            docs[self.key] = dict(data)
+        def set(self, data, merge=False):
+            if merge and self.key in docs:
+                docs[self.key].update(data)
+            else:
+                docs[self.key] = dict(data)
 
         def update(self, fields):
             if self.key not in docs:
