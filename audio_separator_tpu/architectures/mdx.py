@@ -31,7 +31,10 @@ class MDXSeparator(BaseSeparator):
 
         self.segment_size = arch_config.get("segment_size", 256)
         self.overlap = arch_config.get("overlap", 0.25)
-        self.batch_size = arch_config.get("batch_size", 1)
+        # Device batch default 4 (reference default is 1): outputs are
+        # identical at any batch and fewer, larger dispatches pipeline
+        # better over slow host<->device links (same rationale as MDXC).
+        self.batch_size = arch_config.get("batch_size") or 4
         self.hop_length = arch_config.get("hop_length", 1024)
         self.enable_denoise = arch_config.get("enable_denoise", False)
 

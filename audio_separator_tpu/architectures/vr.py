@@ -66,7 +66,9 @@ class VRSeparator(BaseSeparator):
         self.enable_tta = arch_config.get("enable_tta", False)
         self.enable_post_process = arch_config.get("enable_post_process", False)
         self.post_process_threshold = arch_config.get("post_process_threshold", 0.2)
-        self.batch_size = arch_config.get("batch_size", 1)
+        # Device batch default 4 (reference default is 1); explicit
+        # vr_params["batch_size"] still wins (same rationale as MDXC).
+        self.batch_size = arch_config.get("batch_size") or 4
         self.window_size = arch_config.get("window_size", 512)
         self.high_end_process = arch_config.get("high_end_process", False)
         self.input_high_end_h = None

@@ -40,10 +40,10 @@ class AudioSeparatorAPIClient:
         custom_output_names: Optional[Dict[str, str]] = None,
         mdx_segment_size: int = 256,
         mdx_overlap: float = 0.25,
-        mdx_batch_size: int = 1,
+        mdx_batch_size: int = 4,
         mdx_hop_length: int = 1024,
         mdx_enable_denoise: bool = False,
-        vr_batch_size: int = 1,
+        vr_batch_size: int = 4,
         vr_window_size: int = 512,
         vr_aggression: int = 5,
         vr_enable_tta: bool = False,
@@ -57,7 +57,7 @@ class AudioSeparatorAPIClient:
         mdxc_segment_size: int = 256,
         mdxc_override_model_segment_size: bool = False,
         mdxc_overlap: int = 8,
-        mdxc_batch_size: int = 1,
+        mdxc_batch_size: int = 4,
         mdxc_pitch_shift: int = 0,
     ) -> dict:
         """Submit a separation job; returns {"task_id", "status"}."""

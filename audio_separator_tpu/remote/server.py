@@ -147,11 +147,11 @@ class SeparatorService:
                 "hop_length": int(fields.get("mdx_hop_length", 1024)),
                 "segment_size": int(fields.get("mdx_segment_size", 256)),
                 "overlap": float(fields.get("mdx_overlap", 0.25)),
-                "batch_size": int(fields.get("mdx_batch_size", 1)),
+                "batch_size": int(fields.get("mdx_batch_size", 4)),
                 "enable_denoise": _to_bool(fields.get("mdx_enable_denoise", "false")),
             },
             vr_params={
-                "batch_size": int(fields.get("vr_batch_size", 1)),
+                "batch_size": int(fields.get("vr_batch_size", 4)),
                 "window_size": int(fields.get("vr_window_size", 512)),
                 "aggression": int(fields.get("vr_aggression", 5)),
                 "enable_tta": _to_bool(fields.get("vr_enable_tta", "false")),

@@ -158,9 +158,9 @@ class Separator:
         self.arch_specific_params = {
             "MDX": mdx_params if mdx_params is not None else {
                 "hop_length": 1024, "segment_size": 256, "overlap": 0.25,
-                "batch_size": 1, "enable_denoise": False},
+                "batch_size": 4, "enable_denoise": False},
             "VR": vr_params if vr_params is not None else {
-                "batch_size": 1, "window_size": 512, "aggression": 5,
+                "batch_size": 4, "window_size": 512, "aggression": 5,
                 "enable_tta": False, "enable_post_process": False,
                 "post_process_threshold": 0.2, "high_end_process": False},
             "Demucs": demucs_params if demucs_params is not None else {

@@ -88,12 +88,12 @@ def _build_parser(version: str) -> argparse.ArgumentParser:
     mdx = parser.add_argument_group("MDX Architecture Parameters")
     mdx.add_argument("--mdx_segment_size", type=int, default=256)
     mdx.add_argument("--mdx_overlap", type=float, default=0.25)
-    mdx.add_argument("--mdx_batch_size", type=int, default=1)
+    mdx.add_argument("--mdx_batch_size", type=int, default=4)
     mdx.add_argument("--mdx_hop_length", type=int, default=1024)
     mdx.add_argument("--mdx_enable_denoise", action="store_true")
 
     vr = parser.add_argument_group("VR Architecture Parameters")
-    vr.add_argument("--vr_batch_size", type=int, default=1)
+    vr.add_argument("--vr_batch_size", type=int, default=4)
     vr.add_argument("--vr_window_size", type=int, default=512)
     vr.add_argument("--vr_aggression", type=int, default=5)
     vr.add_argument("--vr_enable_tta", action="store_true")
