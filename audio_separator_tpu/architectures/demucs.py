@@ -151,8 +151,18 @@ class DemucsSeparator(BaseSeparator):
         training_len = cfg.training_length
         apply = apply_hdemucs if cfg.arch == "hdemucs" else apply_htdemucs
 
-        def model_fn(p, chunks):  # (B, 2, training_len) -> (B, S, 2, training_len)
-            return apply(p, cfg, chunks, compute_dtype=self.compute_dtype)
+        # Memoized per sub-model config: the demix scan jit-keys on model_fn's
+        # identity, so a fresh closure per call (per file, per bag model, per
+        # shift) would recompile the whole program each time.
+        cache = getattr(self, "_model_fn_cache", None)
+        if cache is None:
+            cache = self._model_fn_cache = {}
+        model_fn = cache.get(id(cfg))
+        if model_fn is None:
+            def model_fn(p, chunks):  # (B, 2, training_len) -> (B, S, 2, training_len)
+                return apply(p, cfg, chunks, compute_dtype=self.compute_dtype)
+
+            cache[id(cfg)] = model_fn
 
         if not self.segments_enabled:
             # direct eval on the full (padded) track

@@ -74,6 +74,14 @@ class MDXSeparator(BaseSeparator):
         return self._onnx_fn(params, spek)[0]
 
     def _model_fn(self, is_match_mix: bool):
+        # One fn object per (instance, flag): the demix scan jit-keys on the
+        # model_fn as a static argument (identity hash), so rebuilding this
+        # closure per call would recompile the whole program for every file.
+        cache = getattr(self, "_model_fn_cache", None)
+        if cache is None:
+            cache = self._model_fn_cache = {}
+        if is_match_mix in cache:
+            return cache[is_match_mix]
         n_fft, hop, dim_f = self.n_fft, self.hop_length, self.dim_f
         win = self._window()
         net_dtype = jnp.bfloat16 if self.use_autocast else jnp.float32
@@ -93,6 +101,7 @@ class MDXSeparator(BaseSeparator):
                               + [(0, chunks.shape[-1] - out.shape[-1])])
             return out[:, None]
 
+        cache[is_match_mix] = fn
         return fn
 
     # --------------------------------------------------------------- demix

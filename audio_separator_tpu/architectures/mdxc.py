@@ -171,6 +171,11 @@ class MDXCSeparator(BaseSeparator):
         return int(inference.get("dim_t", self.segment_size))
 
     def _model_fn(self):
+        # Memoized: the demix scan jit-keys on this fn's identity (static
+        # arg), so rebuilding the closure per call would recompile per file.
+        cached = getattr(self, "_model_fn_cached", None)
+        if cached is not None:
+            return cached
         cfg, dtype = self.model_cfg, self.compute_dtype
         if self.is_roformer:
             stereo = cfg.stereo
@@ -185,13 +190,13 @@ class MDXCSeparator(BaseSeparator):
                     out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
                                   + [(0, chunks.shape[-1] - out.shape[-1])])
                 return out[..., : chunks.shape[-1]]
+        else:
+            from ..models.tfc_tdf import apply_tfc_tdf
 
-            return fn
-        from ..models.tfc_tdf import apply_tfc_tdf
+            def fn(params, chunks):
+                return apply_tfc_tdf(params, cfg, chunks, compute_dtype=dtype)
 
-        def fn(params, chunks):
-            return apply_tfc_tdf(params, cfg, chunks, compute_dtype=dtype)
-
+        self._model_fn_cached = fn
         return fn
 
     def demix(self, mix: np.ndarray):

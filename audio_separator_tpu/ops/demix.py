@@ -219,7 +219,16 @@ def overlap_add_demix(
         import os
 
         env = os.environ.get("AUDSEP_PIPELINE")
-        cap = int(env) if env else 4
+        try:
+            cap = int(env) if env else 4
+        except ValueError:
+            # A config typo ("off", "auto", "2.5") must not crash every
+            # separation — warn and fall back to the default depth.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                f"ignoring non-integer AUDSEP_PIPELINE={env!r}; using 4")
+            cap = 4
         pipeline_segments = min(cap, max(1, n // (2 * batch_size)))
     if mesh is not None:
         # Round the per-step batch up to the data-axis extent so every device

@@ -126,7 +126,14 @@ class BaseSeparator:
         """Load + stereo-ify audio to (2, samples) float32; captures input bit
         depth for write-side preservation (ref: common_separator.py:217-282)."""
         if isinstance(mix, np.ndarray):
-            pcm = mix.T if mix.ndim == 2 and mix.shape[1] == 2 and mix.shape[0] != 2 else mix
+            pcm = mix
+            # soundfile layout (samples, channels) → (channels, samples);
+            # covers (N,1) mono columns and multichannel, not just (N,2)
+            # (ref contract: common_separator.py:256-263 always transposes).
+            if pcm.ndim == 2 and pcm.shape[0] > pcm.shape[1]:
+                pcm = pcm.T
+            if pcm.ndim == 2 and pcm.shape[0] == 1:
+                pcm = pcm[0]  # 1-channel → 1-D, stereo-ified below
             if self.input_bit_depth is None:
                 self.input_bit_depth = 16
         else:
@@ -155,8 +162,11 @@ class BaseSeparator:
             min_peak=self.amplification_threshold,
         )
         if np.max(np.abs(stem_source)) < 1e-6:
-            self.logger.warning("stem_source array is near-silent or empty; skipping write")
-            return
+            # Deviation from the reference (common_separator.py:312-314),
+            # which skips the write and leaves callers holding a path to a
+            # nonexistent file — breaking chunked merge and ensembling. Write
+            # the silent stem so every reported output path exists.
+            self.logger.warning("stem_source array is near-silent or empty")
 
         if self.output_dir:
             os.makedirs(self.output_dir, exist_ok=True)
@@ -206,6 +216,9 @@ class BaseSeparator:
         self.audio_file_base = None
         self.primary_source = None
         self.secondary_source = None
+        # Bit depth is per-input: without this reset an ndarray input would
+        # inherit the previous file's depth instead of the 16-bit default.
+        self.input_bit_depth = None
 
     # ------------------------------------------------------------- interface
 

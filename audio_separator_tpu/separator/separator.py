@@ -386,6 +386,13 @@ class Separator:
                                 self.logger.error(f"Failed to process file {full_path}: {exc}")
             else:
                 self.logger.info(f"Processing file: {path}")
+                if len(audio_file_path) == 1:
+                    # Single-input call: surface failures to the caller
+                    # instead of silently returning an empty list (the
+                    # per-file try/except below exists so one bad file
+                    # doesn't kill a *batch*, ref: separator.py:974-987).
+                    output_files.extend(self._separate_file(path, custom_output_names))
+                    continue
                 try:
                     output_files.extend(self._separate_file(path, custom_output_names))
                 except Exception as exc:
@@ -525,14 +532,15 @@ class Separator:
                 base_name = os.path.splitext(os.path.basename(path))[0]
                 for stem_name, stem_paths in stems_by_type.items():
                     self.logger.info(f"Ensembling {len(stem_paths)} stems for type: {stem_name}")
-                    waveforms, original_channels = [], None
+                    # Output channel count = max over member stems (a mono
+                    # member must not force a stereo ensemble down to mono
+                    # just because it was loaded first).
+                    waveforms, original_channels = [], 1
                     for sp in stem_paths:
                         wav, _sr = audio_io.load_audio(sp, sample_rate=self.sample_rate)
+                        original_channels = max(original_channels, wav.shape[0])
                         if wav.shape[0] == 1:
-                            original_channels = original_channels or 1
                             wav = np.vstack([wav, wav])
-                        elif original_channels is None:
-                            original_channels = wav.shape[0]
                         waveforms.append(wav)
                     ensembled = ensembler.ensemble(waveforms)
                     if original_channels == 1 and ensembled.shape[0] > 1:

@@ -173,3 +173,86 @@ def test_use_mesh_resolves_device_mesh():
     # off by default
     sep3 = Separator(info_only=True)
     assert sep3._resolve_mesh() is None
+
+
+def test_single_file_failure_raises(tmp_path, monkeypatch):
+    """A single-input separation surfaces its failure instead of silently
+    returning [] (batch error-isolation only applies to multi-file runs)."""
+    sep = make_separator(output_dir=str(tmp_path))
+    sep.model_instance = mock.Mock()
+    sep.model_filename = "m.ckpt"
+    wav = tmp_path / "one.wav"
+    audio_io.save_audio(str(wav), np.zeros((2, 1000), np.float32), 44100)
+
+    def boom(path, custom=None):
+        raise RuntimeError("model exploded")
+
+    monkeypatch.setattr(sep, "_separate_file", boom)
+    with pytest.raises(RuntimeError, match="model exploded"):
+        sep.separate(str(wav))
+
+    # ... but a two-file list still isolates the failure per file
+    wav2 = tmp_path / "two.wav"
+    audio_io.save_audio(str(wav2), np.zeros((2, 1000), np.float32), 44100)
+    assert sep.separate([str(wav), str(wav2)]) == []
+
+
+def test_prepare_mix_ndarray_layouts(tmp_path):
+    """(N,1) mono columns and (N,C) arrays transpose correctly; (2,N) stays
+    (ref contract: common_separator.py:256-263)."""
+    from audio_separator_tpu.separator.common import BaseSeparator
+
+    inst = BaseSeparator.__new__(BaseSeparator)
+    inst.logger = logging.getLogger("t")
+    inst.sample_rate = 44100
+
+    n = 1000
+    for arr, want in [
+        (np.zeros((n, 1), np.float32), (2, n)),   # mono column -> stereo-ified
+        (np.zeros((n, 2), np.float32), (2, n)),   # soundfile stereo
+        (np.zeros((2, n), np.float32), (2, n)),   # already channels-first
+        (np.zeros(n, np.float32), (2, n)),        # 1-D mono
+        (np.zeros((n, 6), np.float32), (6, n)),   # multichannel
+    ]:
+        inst.input_bit_depth = None
+        out = inst.prepare_mix(arr)
+        assert out.shape == want, (arr.shape, out.shape)
+
+
+def test_near_silent_stem_still_written(tmp_path):
+    """Near-silent stems write a real file so chunk merge / ensembling never
+    see phantom paths (deviation from ref common_separator.py:312-314)."""
+    from audio_separator_tpu.separator.common import BaseSeparator
+
+    inst = BaseSeparator.__new__(BaseSeparator)
+    inst.logger = logging.getLogger("t")
+    inst.output_dir = str(tmp_path)
+    inst.output_format = "WAV"
+    inst.output_bitrate = None
+    inst.normalization_threshold = 0.9
+    inst.amplification_threshold = 0.0
+    inst.sample_rate = 44100
+    inst.use_soundfile = False
+    inst.input_bit_depth = 16
+    inst.write_audio("silent.wav", np.zeros((1000, 2), np.float32))
+    assert os.path.exists(tmp_path / "silent.wav")
+
+
+def test_pipeline_env_typo_is_ignored(monkeypatch):
+    """AUDSEP_PIPELINE=off must not crash demix (guarded parse)."""
+    from audio_separator_tpu.ops.demix import overlap_add_demix
+
+    monkeypatch.setenv("AUDSEP_PIPELINE", "off")
+
+    def model_fn(chunks):
+        return np.repeat(chunks[:, None], 1, axis=1)
+
+    import jax.numpy as jnp
+
+    def jfn(chunks):
+        return jnp.repeat(chunks[:, None], 1, axis=1)
+
+    mix = np.random.default_rng(0).standard_normal((2, 4096)).astype(np.float32)
+    win = np.ones(1024, np.float32)
+    out = overlap_add_demix(jfn, mix, 1024, 512, win, num_stems=1, batch_size=2)
+    assert out.shape == (1, 2, 4096) and np.isfinite(out).all()
