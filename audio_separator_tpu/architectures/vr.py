@@ -148,9 +148,13 @@ class VRSeparator(BaseSeparator):
                 or self.output_single_stem.lower() == self.primary_stem_name.lower()):
             if not isinstance(self.primary_source, np.ndarray):
                 self.primary_source = self.spec_to_wav(y_spec).T
-                if self.model_samplerate != 44100:
+                if self.model_samplerate != self.sample_rate:
+                    # Resample to the *configured* output rate — write_audio
+                    # stamps self.sample_rate in the header, so a fixed 44100
+                    # here would silently pitch-shift non-default configs.
                     self.primary_source = resample_poly_np(
-                        self.primary_source.T, self.model_samplerate, 44100).T
+                        self.primary_source.T, self.model_samplerate,
+                        self.sample_rate).T
             path = self.get_stem_output_path(self.primary_stem_name, custom_output_names)
             self.final_process(path, self.primary_source, self.primary_stem_name)
             output_files.append(path)
@@ -159,9 +163,10 @@ class VRSeparator(BaseSeparator):
                 or self.output_single_stem.lower() == self.secondary_stem_name.lower()):
             if not isinstance(self.secondary_source, np.ndarray):
                 self.secondary_source = self.spec_to_wav(v_spec).T
-                if self.model_samplerate != 44100:
+                if self.model_samplerate != self.sample_rate:
                     self.secondary_source = resample_poly_np(
-                        self.secondary_source.T, self.model_samplerate, 44100).T
+                        self.secondary_source.T, self.model_samplerate,
+                        self.sample_rate).T
             path = self.get_stem_output_path(self.secondary_stem_name, custom_output_names)
             self.final_process(path, self.secondary_source, self.secondary_stem_name)
             output_files.append(path)
@@ -181,12 +186,9 @@ class VRSeparator(BaseSeparator):
             bp = self.mp["band"][d]
             if d == bands_n:  # highest band: load at band sr
                 pcm, _ = audio_io.load_audio(self.audio_file_path, sample_rate=bp["sr"])
-                try:
-                    info = audio_io.probe(self.audio_file_path)
-                    bits = info.bits_per_sample
-                    self.input_bit_depth = 24 if bits == 24 else 32 if bits >= 32 else 16
-                except Exception:
-                    self.input_bit_depth = 16
+                self.capture_input_bit_depth(self.audio_file_path)
+                if pcm.ndim == 2 and pcm.shape[0] == 1:
+                    pcm = pcm[0]  # load_audio returns (1, N) for mono files
                 if pcm.ndim == 1:
                     pcm = np.stack([pcm, pcm])
                 x_wave[d] = pcm.astype(np.float32)

@@ -261,15 +261,16 @@ def save_audio(
         _save_subprocess(path, interleaved, sample_rate, fmt, bit_depth,
                          bitrate_kbps)
         return
+    if fmt == "wav":
+        # WAV always routes through the pure-Python writer — skip the native
+        # lib load (which may attempt a g++ build) entirely.
+        _save_wav(path, interleaved, sample_rate, bit_depth)
+        return
     lib = _load_lib()
-    if lib is None or fmt == "wav":
-        if fmt == "wav":
-            _save_wav(path, interleaved, sample_rate, bit_depth)
-            return
-        if lib is None:
-            raise RuntimeError(
-                f"cannot encode '{fmt}': native codec unavailable ({_lib_load_error})"
-            )
+    if lib is None:
+        raise RuntimeError(
+            f"cannot encode '{fmt}': native codec unavailable ({_lib_load_error})"
+        )
     ptr = interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     rc = lib.as_encode(path.encode(), ptr, interleaved.shape[0], interleaved.shape[1],
                        sample_rate, fmt.encode(), bit_depth, bitrate_kbps)
@@ -288,12 +289,10 @@ def _save_wav(path: str, interleaved: np.ndarray, sample_rate: int, bit_depth: i
         _save_wav_float32(path, clipped, sample_rate)
         return
     if bit_depth == 24:
-        ints = (clipped * 8388607.0).round().astype(np.int32)
-        raw = bytearray()
-        flat = ints.reshape(-1)
-        b = flat.astype("<i4").tobytes()
-        # take 3 low bytes of each little-endian int32
-        raw = b"".join(b[i : i + 3] for i in range(0, len(b), 4))
+        ints = (clipped * 8388607.0).round().astype("<i4").reshape(-1)
+        # 3 low bytes of each little-endian int32, vectorised (a Python-level
+        # per-sample join here costs seconds per stem on long tracks).
+        raw = ints.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
         sampwidth = 3
     else:
         ints = (clipped * 32767.0).round().astype("<i2")
@@ -320,11 +319,46 @@ def _save_wav_float32(path: str, interleaved: np.ndarray, sample_rate: int):
         f.write(data)
 
 
+def _parse_riff(path: str):
+    """Minimal RIFF/WAVE parser for formats the stdlib wave module rejects
+    (notably IEEE-float, format code 3 — which _save_wav_float32 itself
+    writes). Returns (format_code, channels, sample_rate, bits, data)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise RuntimeError(f"not a RIFF/WAVE file: {path}")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise RuntimeError(f"missing fmt/data chunk in {path}")
+    code, ch, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if code == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+        code = struct.unpack("<H", fmt[24:26])[0]
+    return code, ch, sr, bits, payload
+
+
 def _load_wav(path: str, sample_rate, channels):
-    with wave.open(path, "rb") as w:
-        ch, sw, sr, n = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
-        raw = w.readframes(n)
-    if sw == 2:
+    try:
+        with wave.open(path, "rb") as w:
+            ch, sw, sr, n = (w.getnchannels(), w.getsampwidth(),
+                             w.getframerate(), w.getnframes())
+            raw = w.readframes(n)
+        code = 1
+    except wave.Error:
+        code, ch, sr, bits, raw = _parse_riff(path)
+        sw = bits // 8
+    if code == 3:  # IEEE float
+        dt = "<f4" if sw == 4 else "<f8"
+        x = np.frombuffer(raw, dtype=dt).astype(np.float32)
+    elif sw == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sw == 3:
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
@@ -350,6 +384,10 @@ def _load_wav(path: str, sample_rate, channels):
 
 
 def _probe_wav(path: str) -> AudioInfo:
-    with wave.open(path, "rb") as w:
-        return AudioInfo(w.getframerate(), w.getnchannels(), w.getnframes(),
-                         w.getsampwidth() * 8)
+    try:
+        with wave.open(path, "rb") as w:
+            return AudioInfo(w.getframerate(), w.getnchannels(), w.getnframes(),
+                             w.getsampwidth() * 8)
+    except wave.Error:
+        code, ch, sr, bits, payload = _parse_riff(path)
+        return AudioInfo(sr, ch, len(payload) // max(1, ch * bits // 8), bits)

@@ -74,6 +74,9 @@ def invert_audio(specs: List[np.ndarray], invert_p: bool = True) -> np.ndarray:
     if invert_p:
         max_mag = np.maximum(np.abs(a), np.abs(b))
         return b - max_mag * np.exp(1.0j * np.angle(a))
+    # ref else-branch (spec_utils.py:568-570): soften the stem first, then
+    # subtract it from the mixture.
+    b = reduce_vocal_aggressively(a, b, 0.2)
     return a - b
 
 

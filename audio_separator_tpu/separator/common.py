@@ -132,26 +132,33 @@ class BaseSeparator:
             # (ref contract: common_separator.py:256-263 always transposes).
             if pcm.ndim == 2 and pcm.shape[0] > pcm.shape[1]:
                 pcm = pcm.T
-            if pcm.ndim == 2 and pcm.shape[0] == 1:
-                pcm = pcm[0]  # 1-channel → 1-D, stereo-ified below
             if self.input_bit_depth is None:
                 self.input_bit_depth = 16
         else:
-            try:
-                info = audio_io.probe(mix)
-                bits = info.bits_per_sample
-                self.input_bit_depth = 24 if bits == 24 else 32 if bits >= 32 else 16
-            except Exception as exc:
-                self.logger.warning(f"Could not probe {mix}, defaulting to 16-bit output: {exc}")
-                self.input_bit_depth = 16
+            self.capture_input_bit_depth(mix)
             pcm, _ = audio_io.load_audio(mix, sample_rate=self.sample_rate)
             if not np.any(pcm):
                 raise ValueError(f"Audio file {mix} is empty or not valid")
 
         pcm = np.asarray(pcm, dtype=np.float32)
+        if pcm.ndim == 2 and pcm.shape[0] == 1:
+            pcm = pcm[0]  # load_audio returns (1, N) for mono files
         if pcm.ndim == 1:
             pcm = np.stack([pcm, pcm])
         return pcm
+
+    def capture_input_bit_depth(self, path: str) -> int:
+        """Probe + classify the input's bit depth for write-side preservation
+        (ref: common_separator.py:230-251); shared by prepare_mix and the VR
+        multiband loader."""
+        try:
+            bits = audio_io.probe(path).bits_per_sample
+            self.input_bit_depth = 24 if bits == 24 else 32 if bits >= 32 else 16
+        except Exception as exc:
+            self.logger.warning(
+                f"Could not probe {path}, defaulting to 16-bit output: {exc}")
+            self.input_bit_depth = 16
+        return self.input_bit_depth
 
     def write_audio(self, stem_path: str, stem_source: np.ndarray) -> None:
         """Write a (samples, channels) stem with normalisation, near-silent

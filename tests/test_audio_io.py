@@ -78,3 +78,62 @@ def test_wav_fallback_matches_native(sine, tmp_path):
     native, _ = audio_io.load_audio(path)
     fallback, _ = audio_io._load_wav(path, None, None)
     np.testing.assert_allclose(native, fallback, atol=1e-4)
+
+
+def test_float32_wav_pure_python_roundtrip(tmp_path, monkeypatch):
+    """The stdlib wave module rejects IEEE-float WAVs (format 3); the RIFF
+    fallback must read back what _save_wav_float32 writes."""
+    from audio_separator_tpu.io import audio as audio_io
+
+    # Force the pure-Python path regardless of the native lib.
+    monkeypatch.setattr(audio_io, "_load_lib", lambda: None)
+    monkeypatch.setattr(audio_io, "_use_subprocess", lambda: False)
+
+    rng = np.random.default_rng(0)
+    pcm = np.clip(rng.standard_normal((2, 4096)) * 0.4, -1, 1).astype(np.float32)
+    path = str(tmp_path / "f32.wav")
+    audio_io.save_audio(path, pcm, 44100, bit_depth=32)
+
+    info = audio_io.probe(path)
+    assert info.bits_per_sample == 32 and info.channels == 2
+
+    out, sr = audio_io.load_audio(path)
+    assert sr == 44100
+    np.testing.assert_allclose(out, pcm, atol=1e-6)
+
+
+def test_24bit_wav_vectorised_writer_roundtrip(tmp_path, monkeypatch):
+    from audio_separator_tpu.io import audio as audio_io
+
+    monkeypatch.setattr(audio_io, "_load_lib", lambda: None)
+    monkeypatch.setattr(audio_io, "_use_subprocess", lambda: False)
+
+    rng = np.random.default_rng(1)
+    pcm = (rng.standard_normal((2, 2048)) * 0.5).astype(np.float32)
+    path = str(tmp_path / "p24.wav")
+    audio_io.save_audio(path, pcm, 48000, bit_depth=24)
+    out, sr = audio_io.load_audio(path)
+    assert sr == 48000
+    np.testing.assert_allclose(out, np.clip(pcm, -1, 1), atol=2e-7 * 8388608 / 8388608 + 1.5e-7)
+
+
+def test_mono_file_prepare_mix_stereoifies(tmp_path):
+    """load_audio returns (1, N) for mono files; prepare_mix must stereo-ify
+    rather than treat it as a 1-channel/N-sample track."""
+    import logging
+
+    from audio_separator_tpu.io import audio as audio_io
+    from audio_separator_tpu.separator.common import BaseSeparator
+
+    t = np.arange(44100) / 44100
+    mono = (np.sin(2 * np.pi * 220 * t) * 0.5).astype(np.float32)[None]
+    path = str(tmp_path / "mono.wav")
+    audio_io.save_audio(path, mono, 44100)
+
+    inst = BaseSeparator.__new__(BaseSeparator)
+    inst.logger = logging.getLogger("t")
+    inst.sample_rate = 44100
+    inst.input_bit_depth = None
+    out = inst.prepare_mix(path)
+    assert out.shape == (2, 44100)
+    np.testing.assert_allclose(out[0], out[1])
