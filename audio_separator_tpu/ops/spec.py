@@ -120,13 +120,18 @@ def ensemble_spec_waves(algorithm: str, waves: Sequence[np.ndarray]) -> np.ndarr
 
 
 def ensemble_wav(waveforms: Sequence[np.ndarray], split_size: int = 240) -> np.ndarray:
-    """Least-noisy-chunk waveform ensemble (ref: spec_utils.ensemble_wav:1245-1267)."""
-    pieces = [np.array_split(w, split_size) for w in waveforms]
+    """Least-noisy-chunk waveform ensemble (ref: spec_utils.ensemble_wav:1245-1267).
+
+    Splits along the *time* (last) axis so both 1-D and (channels, length)
+    inputs pick the quietest model per time segment — splitting axis 0 on a
+    stereo array would splice whole channels and produce NaN means for the
+    empty splits."""
+    pieces = [np.array_split(w, split_size, axis=-1) for w in waveforms]
     out = []
     for idx in range(split_size):
-        means = [np.abs(p[idx]).mean() for p in pieces]
+        means = [np.abs(p[idx]).mean() if p[idx].size else np.inf for p in pieces]
         out.append(pieces[int(np.argmin(means))][idx])
-    return np.concatenate(out)
+    return np.concatenate(out, axis=-1)
 
 
 def to_shape(x: np.ndarray, target_shape) -> np.ndarray:

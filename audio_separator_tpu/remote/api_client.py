@@ -181,7 +181,8 @@ class AudioSeparatorAPIClient:
         response = self.session.get(
             f"{self.api_url}/download/{task_id}/{file_hash}", timeout=300)
         response.raise_for_status()
-        out_path = os.path.join(output_dir or ".", filename)
+        # Server-supplied names must not escape output_dir (path traversal).
+        out_path = os.path.join(output_dir or ".", os.path.basename(filename))
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "wb") as f:
             f.write(response.content)

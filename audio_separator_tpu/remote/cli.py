@@ -111,8 +111,12 @@ def main(argv=None):
             "mdxc_segment_size", "mdxc_override_model_segment_size",
             "mdxc_overlap", "mdxc_batch_size", "mdxc_pitch_shift",
         ]
+        # Identity checks: `0 == False` in Python, so a membership test
+        # against (None, False) would silently drop explicit zero values
+        # (--vr_aggression 0, --demucs_shifts 0, ...).
         tuning = {k: getattr(args, k) for k in tuning_keys
-                  if getattr(args, k) not in (None, False)}
+                  if getattr(args, k) is not None
+                  and getattr(args, k) is not False}
         # client-kwarg names differ for these three (match the Separator API)
         if tuning.pop("invert_spect", None):
             tuning["invert_using_spec"] = True

@@ -69,6 +69,21 @@ def _to_bool(value: str) -> bool:
     return str(value).lower() in ("true", "1", "yes", "on")
 
 
+def _fetch_gcs(gcs_uri: str):
+    """Download a gs://bucket/path object → (basename, bytes). Requires
+    google-cloud-storage (deferred import; clear error when absent)."""
+    if not gcs_uri.startswith("gs://"):
+        raise ValueError(f"not a gs:// URI: {gcs_uri}")
+    bucket_name, _, blob_path = gcs_uri[len("gs://"):].partition("/")
+    if not bucket_name or not blob_path:
+        raise ValueError(f"malformed GCS URI: {gcs_uri}")
+    from google.cloud import storage  # optional dep
+
+    client = storage.Client()
+    data = client.bucket(bucket_name).blob(blob_path).download_as_bytes()
+    return os.path.basename(blob_path), data
+
+
 class SeparatorService:
     """Job queue + worker running the Separator on this host."""
 
@@ -314,6 +329,18 @@ def make_handler(service: SeparatorService):
                 return
             upload = files.get("file")
             if not upload or not upload[0]:
+                gcs_uri = fields.get("gcs_uri")
+                if gcs_uri:
+                    # GCS-input submissions (ref: deploy_cloudrun.py:404-560
+                    # gcs_uri option): fetch the object server-side.
+                    try:
+                        filename, file_bytes = _fetch_gcs(gcs_uri)
+                    except Exception as exc:
+                        self._error(400, f"could not fetch {gcs_uri}: {exc}")
+                        return
+                    task_id = service.submit(filename, file_bytes, fields)
+                    self._json({"task_id": task_id, "status": "queued"})
+                    return
                 self._error(400, "No audio file provided")
                 return
             filename, file_bytes = upload

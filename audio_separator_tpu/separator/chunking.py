@@ -41,8 +41,6 @@ class AudioChunker:
         chunk_samples = int(self.chunk_duration_seconds * sr)
         total = pcm.shape[1]
         num_chunks = -(-total // chunk_samples)
-        _, ext = os.path.splitext(input_path)
-        ext = ext or ".wav"
         self.logger.info(
             f"Splitting {total / sr:.1f}s audio into {num_chunks} chunks of "
             f"{self.chunk_duration_seconds:.1f}s each")
@@ -51,8 +49,13 @@ class AudioChunker:
         for i in range(num_chunks):
             start = i * chunk_samples
             piece = pcm[:, start : min(start + chunk_samples, total)]
-            path = os.path.join(output_dir, f"chunk_{i:04d}{ext}")
-            audio_io.save_audio(path, piece, sr, output_format=ext.lstrip("."))
+            # Chunks are intermediates: always float32 WAV. Re-encoding in
+            # the input's own container would add a lossy second generation
+            # plus per-chunk encoder delay for mp3/ogg (audible seams after
+            # the merge) and quantise 24-bit/float inputs to 16-bit.
+            path = os.path.join(output_dir, f"chunk_{i:04d}.wav")
+            audio_io.save_audio(path, piece, sr, output_format="wav",
+                                bit_depth=32)
             paths.append(path)
         return paths
 

@@ -124,7 +124,14 @@ def normalize_roformer_params(config: Dict[str, Any]) -> Dict[str, Any]:
     (ref: configuration_normalizer.py:100-210)."""
     out: Dict[str, Any] = {}
     for key, value in config.items():
-        key = _NAME_MAP.get(key, key)
+        mapped = _NAME_MAP.get(key, key)
+        if mapped != key and mapped in config:
+            # An alias (e.g. audio-section hop_length) must not clobber an
+            # explicitly-present canonical key (model-section
+            # stft_hop_length) — the canonical value wins regardless of
+            # dict order.
+            continue
+        key = mapped
         if key in _BOOL_KEYS:
             value = value.lower() in ("true", "1", "yes", "on") if isinstance(value, str) else bool(value)
         elif key in _INT_KEYS and value is not None:

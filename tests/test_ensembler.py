@@ -1,5 +1,7 @@
 """Ensembler algorithm tests (ref behaviour: ensembler.py:6-156)."""
 
+import logging
+
 import numpy as np
 import pytest
 
@@ -81,3 +83,21 @@ def test_all_algorithms_registered():
         "avg_wave", "median_wave", "min_wave", "max_wave", "avg_fft",
         "median_fft", "min_fft", "max_fft", "uvr_max_spec", "uvr_min_spec",
         "ensemble_wav"}
+
+
+def test_ensemble_wav_stereo_picks_quietest_per_segment():
+    """ensemble_wav must split along time, not channels (a (2, L) input used
+    to splice whole channels and average empty segments)."""
+    from audio_separator_tpu.separator.ensembler import Ensembler
+
+    L = 4800
+    loud = np.ones((2, L), np.float32)
+    quiet = np.full((2, L), 0.1, np.float32)
+    # make `loud` quieter in the second half
+    loud[:, L // 2:] = 0.01
+
+    out = Ensembler(logging.getLogger("t"), "ensemble_wav").ensemble([loud, quiet])
+    assert out.shape == (2, L)
+    # first half: quiet model wins (0.1 < 1.0); second half: loud model (0.01)
+    assert np.allclose(out[:, : L // 4], 0.1)
+    assert np.allclose(out[:, -L // 4 :], 0.01)

@@ -267,3 +267,34 @@ def test_server_store_wiring_from_env(tmp_path, monkeypatch):
     assert isinstance(outputs, LocalOutputStore)
     jobs.set_job_status("t", {"status": "queued"})
     assert jobs.get_job_status("t")["status"] == "queued"
+
+
+def test_gcs_uri_submission(monkeypatch, tmp_path):
+    """POST /separate with a gcs_uri field and no file part fetches the object
+    server-side (ref: deploy_cloudrun.py gcs_uri input option)."""
+    import json as _json
+    import urllib.request
+
+    from audio_separator_tpu.remote import server as server_mod
+
+    monkeypatch.setattr(server_mod, "_fetch_gcs",
+                        lambda uri: ("song.wav", b"RIFFfake"))
+    srv = server_mod.serve(port=0, work_dir=str(tmp_path))
+    port = srv.server_address[1]
+    import threading
+
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        boundary = "XBOUND"
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="gcs_uri"\r\n\r\ngs://bucket/song.wav\r\n'
+                f"--{boundary}--\r\n").encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/separate", data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            payload = _json.loads(resp.read())
+        assert payload["status"] == "queued" and payload["task_id"]
+    finally:
+        srv.shutdown()

@@ -137,3 +137,18 @@ def test_model_loading_result_summary():
 
     failed = ModelLoadingResult(success=False, error="bad checkpoint")
     assert "FAILED" in failed.summary()
+
+
+def test_alias_does_not_clobber_canonical_stft_keys():
+    """An audio-section hop_length/n_fft alias must not overwrite explicit
+    model-section stft_* values, regardless of dict order."""
+    from audio_separator_tpu.separator.roformer_config import normalize_roformer_params
+
+    flat = {"stft_hop_length": 441, "stft_n_fft": 2048,
+            "hop_length": 1024, "n_fft": 4096}
+    out = normalize_roformer_params(flat)
+    assert out["stft_hop_length"] == 441
+    assert out["stft_n_fft"] == 2048
+    # alias alone still renames
+    out2 = normalize_roformer_params({"hop_length": 512})
+    assert out2["stft_hop_length"] == 512
