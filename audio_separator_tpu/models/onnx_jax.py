@@ -168,7 +168,10 @@ class OnnxToJax:
         if _is_const(a) and _is_const(b):
             a_np, b_np = _np(a), _np(b)
             if np.issubdtype(a_np.dtype, np.integer) and np.issubdtype(b_np.dtype, np.integer):
-                return a_np // b_np
+                # ONNX integer Div truncates toward zero (C semantics);
+                # Python // floors, which differs for negative operands.
+                return (np.sign(a_np) * np.sign(b_np)
+                        * (np.abs(a_np) // np.abs(b_np))).astype(a_np.dtype)
             return a_np / b_np
         return jnp.divide(a, b)
 
@@ -212,10 +215,14 @@ class OnnxToJax:
     def op_InstanceNormalization(self, node, x, scale, bias):
         eps = node.attrs.get("epsilon", 1e-5)
         axes = tuple(range(2, x.ndim))
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
+        # Statistics in f32 even under bf16 autocast: 8-bit-mantissa mean/var
+        # over large spatial extents degrades the normalisation (same policy
+        # as models/tfc_tdf.py's norm layers).
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.var(x32, axis=axes, keepdims=True)
         shape = (1, -1) + (1,) * (x.ndim - 2)
-        out = (x - mean) * jax.lax.rsqrt(var + eps)
+        out = ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
         return out * jnp.asarray(scale, x.dtype).reshape(shape) \
             + jnp.asarray(bias, x.dtype).reshape(shape)
 
@@ -426,6 +433,8 @@ class OnnxToJax:
     def op_Flatten(self, node, x):
         axis = node.attrs.get("axis", 1)
         shape = self._shape_of(x)
+        if axis < 0:  # opset 11+: negative axis counts from the end
+            axis += len(shape)
         lead = int(np.prod(shape[:axis])) if axis > 0 else 1
         return x.reshape(lead, -1)
 
@@ -533,16 +542,29 @@ class OnnxToJax:
         return jnp.tile(x, reps)
 
     def op_Range(self, node, start, limit, delta):
-        return np.arange(int(_np(start)), int(_np(limit)), int(_np(delta)), dtype=np.int64)
+        # dtype follows the inputs (ONNX spec); int() coercion would corrupt
+        # float ranges (e.g. positional encodings with fractional deltas).
+        s0, l0, d0 = (_np(start).reshape(()), _np(limit).reshape(()),
+                      _np(delta).reshape(()))
+        return np.arange(s0, l0, d0, dtype=np.result_type(s0, l0, d0))
 
     def op_Resize(self, node, x, roi=None, scales=None, sizes=None):
         mode = node.attrs.get("mode", "nearest")
+        coord = node.attrs.get("coordinate_transformation_mode", "half_pixel")
+        # jax.image.resize implements half-pixel sampling; pytorch_half_pixel
+        # only differs when an output dim is 1, and asymmetric matches for
+        # nearest upsampling by integral factors (the Conv-TDF decoder
+        # pattern). Anything else would silently shift feature maps.
+        if coord not in ("half_pixel", "pytorch_half_pixel", "asymmetric"):
+            raise NotImplementedError(
+                f"Resize coordinate_transformation_mode={coord!r} not supported")
         in_shape = self._shape_of(x)
         if sizes is not None:
             out_shape = [int(s) for s in _np(sizes).reshape(-1)]
         else:
             sc = _np(scales).reshape(-1)
-            out_shape = [int(round(d * s)) for d, s in zip(in_shape, sc)]
+            # ONNX mandates floor(dim * scale) for scale-derived sizes.
+            out_shape = [int(np.floor(d * s)) for d, s in zip(in_shape, sc)]
         method = {"nearest": "nearest", "linear": "linear", "cubic": "cubic"}[mode]
         return jax.image.resize(x, out_shape, method=method)
 

@@ -74,6 +74,11 @@ def bilinear_align_corners(x, out_h: int, out_w: int):
 
     h_lo, h_hi, h_fr = axis_weights(h, out_h)
     w_lo, w_hi, w_fr = axis_weights(w, out_w)
+    # Keep the interpolation weights in the activation dtype: f32 numpy
+    # weights would promote a bf16 autocast run to f32 for the whole
+    # downstream cascade.
+    h_fr = jnp.asarray(h_fr, x.dtype)
+    w_fr = jnp.asarray(w_fr, x.dtype)
     top = x[:, :, h_lo, :] * (1 - h_fr)[None, None, :, None] \
         + x[:, :, h_hi, :] * h_fr[None, None, :, None]
     out = top[:, :, :, w_lo] * (1 - w_fr)[None, None, None, :] \

@@ -26,7 +26,17 @@ import scipy.signal
 
 
 def _gcd_ratio(orig_sr: int, new_sr: int) -> tuple[int, int]:
-    frac = Fraction(new_sr, orig_sr).limit_denominator(1 << 16)
+    exact = Fraction(new_sr, orig_sr)
+    frac = exact.limit_denominator(1 << 16)
+    if frac != exact:
+        # Bounded filter length requires a bounded denominator; the rate is
+        # then approximated — say so instead of silently drifting (can move
+        # output length by ~1 sample on long signals at exotic rates).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            f"resample ratio {new_sr}/{orig_sr} approximated as "
+            f"{frac.numerator}/{frac.denominator}")
     return frac.numerator, frac.denominator
 
 

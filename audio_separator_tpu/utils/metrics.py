@@ -6,10 +6,13 @@ museval/musdb are not available in this environment, so the framewise BSS Eval
 computation is implemented here directly:
 
 * :func:`bss_eval` — framewise SDR/SIR/SAR (BSS Eval "sources" model with
-  512-tap distortion filters, 1 s windows/hops like museval defaults), plus a
-  projection-based ISR. Median-over-frames matches how models-scores.json
-  aggregates per track.
-* :func:`simple_sdr` — global scale-invariant SDR for golden-output tests.
+  512-tap distortion filters, 1 s windows/hops like museval defaults), plus
+  the images-model ISR (target image vs spatial-distortion energy) computed
+  per channel when stereo stems are supplied (NaN for mono, where spatial
+  distortion is undefined). Median-over-frames matches how
+  models-scores.json aggregates per track.
+* :func:`simple_sdr` — plain global (scale-variant) SDR for golden-output
+  tests.
 """
 
 from __future__ import annotations
@@ -21,7 +24,8 @@ from numpy.fft import irfft, rfft
 
 
 def simple_sdr(estimate: np.ndarray, reference: np.ndarray, eps: float = 1e-10) -> float:
-    """Global SDR in dB (no filters): 10 log10(||ref||² / ||ref − est||²)."""
+    """Plain global SDR in dB (no filters, scale-variant):
+    10 log10(||ref||² / ||ref − est||²)."""
     reference = np.asarray(reference, dtype=np.float64)
     estimate = np.asarray(estimate, dtype=np.float64)
     n = min(reference.shape[-1], estimate.shape[-1])
@@ -44,23 +48,14 @@ def _correlations(refs: np.ndarray, est: np.ndarray, flen: int):
     sf = rfft(refs, n=nfft)
     ef = rfft(est, n=nfft)
 
-    g_blocks = np.empty((nsrc, nsrc, flen))
-    for i in range(nsrc):
-        for j in range(nsrc):
-            cross = irfft(sf[i] * np.conj(sf[j]), n=nfft)
-            # correlation at lags 0..flen-1 and -(flen-1)..0
-            g_blocks[i, j] = cross[:flen]
     G = np.empty((nsrc * flen, nsrc * flen))
-    idx = np.abs(np.subtract.outer(np.arange(flen), np.arange(flen)))
-    sign = np.sign(np.subtract.outer(np.arange(flen), np.arange(flen)))
+    lags = np.subtract.outer(np.arange(flen) * -1, np.arange(flen) * -1)
     for i in range(nsrc):
         for j in range(nsrc):
             cij = irfft(sf[i] * np.conj(sf[j]), n=nfft)
             # toeplitz: entry (a,b) = corr(s_i delayed a, s_j delayed b)
             #         = c_ij[b - a] with wraparound negative lags at end
-            lags = np.subtract.outer(np.arange(flen) * -1, np.arange(flen) * -1)
-            block = cij[(lags) % nfft]
-            G[i * flen : (i + 1) * flen, j * flen : (j + 1) * flen] = block
+            G[i * flen : (i + 1) * flen, j * flen : (j + 1) * flen] = cij[lags % nfft]
     d_cross = np.empty(nsrc * flen)
     for i in range(nsrc):
         ci = irfft(np.conj(sf[i]) * ef, n=nfft)
@@ -96,9 +91,26 @@ def _frame_metrics(refs: np.ndarray, est: np.ndarray, j: int, flen: int):
     sir = 10 * np.log10((num + eps) / (np.sum(e_interf ** 2) + eps))
     sar = 10 * np.log10((np.sum((s_target + e_interf) ** 2) + eps)
                         / (np.sum(e_artif ** 2) + eps))
-    # ISR: how much of the estimate's energy is target-subspace leakage
-    isr = 10 * np.log10((np.sum(p_all ** 2) + eps) / (np.sum(e_artif ** 2) + eps))
-    return sdr, sir, sar, isr
+    return sdr, sir, sar
+
+
+def _frame_isr(ref_img: np.ndarray, est_img: np.ndarray, flen: int) -> float:
+    """Images-model ISR for one frame: per channel, project the estimate onto
+    the target's *single-channel* delayed copies (s_target) and onto the span
+    of *all* target channels (the spatial image subspace); e_spat is the
+    difference. ISR = 10log10(Σ||s_target||² / Σ||e_spat||²). Undefined
+    (NaN) for mono, where the two projections coincide."""
+    eps = 1e-12
+    channels = ref_img.shape[0]
+    if channels < 2:
+        return float("nan")
+    num = den = 0.0
+    for c in range(channels):
+        s_t = _project(ref_img[c : c + 1], est_img[c], flen)
+        p_img = _project(ref_img, est_img[c], flen)
+        num += np.sum(s_t ** 2)
+        den += np.sum((p_img - s_t) ** 2)
+    return float(10 * np.log10((num + eps) / (den + eps)))
 
 
 def bss_eval(
@@ -127,6 +139,8 @@ def bss_eval(
     ests_m = np.stack([mono(e) for e in ests])
     n = min(refs_m.shape[-1], ests_m.shape[-1])
     refs_m, ests_m = refs_m[:, :n], ests_m[:, :n]
+    refs_st = [np.atleast_2d(r)[:, :n] for r in refs]
+    ests_st = [np.atleast_2d(e)[:, :n] for e in ests]
 
     win = int(window_seconds * sample_rate)
     hop = int(hop_seconds * sample_rate)
@@ -139,12 +153,15 @@ def bss_eval(
             ref_frame = refs_m[:, sl]
             if np.sum(ref_frame[j] ** 2) < 1e-10:  # silent target frame
                 continue
-            sdr, sir, sar, isr = _frame_metrics(ref_frame, ests_m[j, sl], j,
-                                                filter_length)
+            sdr, sir, sar = _frame_metrics(ref_frame, ests_m[j, sl], j,
+                                           filter_length)
             frames["SDR"].append(sdr)
             frames["SIR"].append(sir)
             frames["SAR"].append(sar)
-            frames["ISR"].append(isr)
+            isr = _frame_isr(refs_st[j][:, sl], ests_st[j][:, sl],
+                             filter_length)
+            if np.isfinite(isr):
+                frames["ISR"].append(isr)
         results.append({k: float(np.median(v)) if v else float("nan")
                         for k, v in frames.items()})
     return results

@@ -77,3 +77,24 @@ def test_stem_verification_classifier(fixtures_dir):
         "Instrumental", ref_vocal, ref_inst, ref_mix, min_len)
     assert result.detected_content == "INSTRUMENTAL"
     assert result.label_matches
+
+
+def test_isr_differs_from_sar_and_nan_for_mono():
+    """ISR is the images-model spatial ratio: distinct from SAR on stereo
+    stems, NaN for mono (no spatial subspace)."""
+    rng = np.random.default_rng(3)
+    n = 44100 * 2
+    ref_l = rng.standard_normal(n).astype(np.float64)
+    # stereo image: slightly different channels
+    ref = np.stack([ref_l, 0.8 * ref_l + 0.2 * rng.standard_normal(n)])
+    other = rng.standard_normal((2, n))
+    est = ref + 0.1 * rng.standard_normal((2, n))
+
+    res = bss_eval([ref, other], [est, other], window_seconds=1.0)
+    r = res[0]
+    assert np.isfinite(r["ISR"]) and np.isfinite(r["SAR"])
+    assert abs(r["ISR"] - r["SAR"]) > 1e-6
+
+    res_mono = bss_eval([ref.mean(0), other.mean(0)],
+                        [est.mean(0), other.mean(0)], window_seconds=1.0)
+    assert np.isnan(res_mono[0]["ISR"])
