@@ -30,6 +30,10 @@ _STUB_CLASSES = ["HTDemucs", "HDemucs", "Demucs", "ConvTasNet"]
 
 
 def _ensure_stub_modules():
+    """Install unpickling stubs; returns the names added so the caller can
+    remove them afterwards (leaving them would shadow a real `demucs`
+    package for the rest of the process)."""
+    added = []
     for name in _STUB_MODULES:
         if name in sys.modules:
             continue
@@ -38,13 +42,19 @@ def _ensure_stub_modules():
             stub = type(cls_name, (), {"__module__": name})
             setattr(mod, cls_name, stub)
         sys.modules[name] = mod
+        added.append(name)
+    return added
 
 
 def check_checksum(path: str) -> None:
     """Demucs local-repo files embed a sha256 prefix in the name:
-    <signature>-<checksum8>.th (ref: repo.py:29-39)."""
+    <signature>-<checksum8>.th (ref: repo.py:29-39). Only names matching
+    that scheme (hex suffix) are verified — a user's dash-named custom
+    checkpoint (my-finetune.th) must not be rejected as corrupt."""
+    import re
+
     stem = os.path.splitext(os.path.basename(path))[0]
-    if "-" not in stem:
+    if not re.fullmatch(r"[^-]+-[0-9a-fA-F]{4,64}", stem):
         return
     checksum = stem.split("-", 1)[1]
     sha = hashlib.sha256()
@@ -63,8 +73,12 @@ def load_demucs_checkpoint(path: str) -> Tuple[str, HTDemucsConfig, Dict[str, An
     """Load one .th package → (klass_name, config, params-tree)."""
     import torch
 
-    _ensure_stub_modules()
-    package = torch.load(path, map_location="cpu", weights_only=False)
+    added_stubs = _ensure_stub_modules()
+    try:
+        package = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        for name in added_stubs:
+            sys.modules.pop(name, None)
     klass = package["klass"]
     klass_name = getattr(klass, "__name__", str(klass))
     kwargs = dict(package.get("kwargs") or {})

@@ -479,11 +479,9 @@ def _mha(p, q, k, v, heads):
 
         out = dot_product_attention(qh, kh, vh).astype(q.dtype)
     else:
-        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh,
-                         preferred_element_type=jnp.float32) * (dh ** -0.5)
-        attn = jax.nn.softmax(sim, axis=-1).astype(vh.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, vh,
-                         preferred_element_type=jnp.float32).astype(q.dtype)
+        from ..ops.attention import _einsum_attention
+
+        out = _einsum_attention(qh, kh, vh, dh ** -0.5).astype(q.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, e)
     return _linear(p["out_proj"], out)
 
@@ -798,19 +796,33 @@ def apply_hdemucs(params: Dict[str, Any], cfg: HTDemucsConfig, mix: jnp.ndarray,
         zout = jax.lax.complex(out[:, :, :, 0].astype(jnp.float32),
                                out[:, :, :, 1].astype(jnp.float32))
     elif cfg.wiener_iters < 0:
-        # plain ratio mask (ref: hdemucs._mask niters < 0 branch)
-        m = jnp.abs(x).astype(jnp.float32)
+        # plain ratio mask (ref: hdemucs._mask niters < 0 branch). The
+        # decoder head output is used RAW — a negative value flips the
+        # mixture phase at that bin; taking |m| here would diverge from the
+        # reference for every v3 magnitude-head model.
+        m = x.astype(jnp.float32)
         zout = (z[:, None] / (1e-8 + jnp.abs(z[:, None]))) * m
     else:
         # magnitude head → multichannel Wiener combination with the mixture
-        # phase (ref: hdemucs._mask:631-647, wiener_iters EM refinements)
-        mag_out = jnp.abs(x).astype(jnp.float32)
-        # (B, S, C, F, T) → per batch: (T, F, C, S)
+        # phase (ref: hdemucs._mask:631-647 + _wiener:648-672). Like the
+        # reference, the head output enters the EM raw (no abs), and the EM
+        # runs in 300-frame windows so its statistics and max_abs scaling
+        # match torch exactly.
+        mag_out = x.astype(jnp.float32)
+        wiener_win_len = 300
+
         def one(mags, mix_z):
             tsfc = mags.transpose(3, 2, 1, 0)  # (T, F, C, S)
             mix_tfc = mix_z.transpose(2, 1, 0)  # (T, F, C)
-            y = wiener_fn(tsfc, mix_tfc, iterations=max(cfg.wiener_iters, 0),
-                          residual=cfg.wiener_residual)
+            t_total = tsfc.shape[0]
+            outs = []
+            for pos in range(0, t_total, wiener_win_len):
+                yw = wiener_fn(tsfc[pos : pos + wiener_win_len],
+                               mix_tfc[pos : pos + wiener_win_len],
+                               iterations=max(cfg.wiener_iters, 0),
+                               residual=cfg.wiener_residual)
+                outs.append(yw)
+            y = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
             if cfg.wiener_residual:
                 y = y[..., :-1]
             return y.transpose(3, 2, 1, 0)  # (S, C, F, T)

@@ -136,12 +136,13 @@ def main(argv=None):
     from .. import __version__
 
     logger = logging.getLogger(__name__)
-    handler = logging.StreamHandler()
     formatter = logging.Formatter(
         fmt="%(asctime)s.%(msecs)03d - %(levelname)s - %(module)s - %(message)s",
         datefmt="%Y-%m-%d %H:%M:%S")
-    handler.setFormatter(formatter)
-    logger.addHandler(handler)
+    if not logger.hasHandlers():  # main() may be called repeatedly in-process
+        handler = logging.StreamHandler()
+        handler.setFormatter(formatter)
+        logger.addHandler(handler)
 
     parser = _build_parser(__version__)
     args = parser.parse_args(argv)

