@@ -98,3 +98,18 @@ def test_wiener_em_improves_spatial_separation():
 
     assert np.isfinite(y2).all()
     assert err(y2) < err(y0)
+
+
+def test_wiener_passes_raw_negative_head_values_through():
+    """The reference feeds the decoder head's RAW (possibly negative) values
+    into the ratio mask / Wiener init (hdemucs._mask:640-646) — a negative
+    value flips the mixture phase at that bin. iterations=0 must preserve
+    the sign rather than rectify it."""
+    rng = np.random.default_rng(7)
+    t, f, c, s = 8, 9, 2, 2
+    raw = rng.standard_normal((t, f, c, s)).astype(np.float32)  # signed!
+    mix = (rng.standard_normal((t, f, c))
+           + 1j * rng.standard_normal((t, f, c))).astype(np.complex64)
+    y = np.asarray(wiener(jnp.asarray(raw), jnp.asarray(mix), iterations=0))
+    phase = mix / np.maximum(np.abs(mix), 1e-12)
+    np.testing.assert_allclose(y, raw * phase[..., None], atol=1e-5)
