@@ -113,3 +113,32 @@ def test_wiener_passes_raw_negative_head_values_through():
     y = np.asarray(wiener(jnp.asarray(raw), jnp.asarray(mix), iterations=0))
     phase = mix / np.maximum(np.abs(mix), 1e-12)
     np.testing.assert_allclose(y, raw * phase[..., None], atol=1e-5)
+
+
+def test_hdemucs_magnitude_head_parity():
+    """cac=False parity: magnitude-head input, raw decoder output through the
+    zero-iteration Wiener (= raw * mixture phase), vs the torch oracle."""
+    torch.manual_seed(4)
+    sources = ("drums", "bass", "other", "vocals")
+    oracle = HDemucsOracle(sources, channels=8, nfft=256, depth=4,
+                           norm_starts=2, dconv_lstm=2, dconv_attn=2,
+                           segment=0.5, cac=False).eval()
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+    params = jax.device_put(_tree(oracle.state_dict()))
+    cfg = HTDemucsConfig(
+        sources=sources, arch="hdemucs", channels=8, nfft=256, depth=4,
+        norm_starts=2, segment=0.5, use_train_segment=False, cac=False,
+        wiener_iters=0,
+    )
+    mix = (np.random.default_rng(8).standard_normal((1, 2, 22050)) * 0.2
+           ).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(mix)).numpy()
+    got = np.asarray(apply_hdemucs(params, cfg, jnp.asarray(mix)))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=8e-3 * max(scale, 1e-3), rtol=0)
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.9999, corr

@@ -363,7 +363,10 @@ class HTDemucsOracle(nn.Module):
         length = mix.shape[-1]
         z = self._spec(mix)
         B, C, Fq, T = z.shape
-        mag = torch.view_as_real(z).permute(0, 1, 4, 2, 3).reshape(B, C * 2, Fq, T)
+        if self.cac:
+            mag = torch.view_as_real(z).permute(0, 1, 4, 2, 3).reshape(B, C * 2, Fq, T)
+        else:
+            mag = z.abs()
         x = mag
         mean = x.mean(dim=(1, 2, 3), keepdim=True)
         std = x.std(dim=(1, 2, 3), keepdim=True)
@@ -412,8 +415,15 @@ class HTDemucsOracle(nn.Module):
         S = len(self.sources)
         x = x.view(B, S, -1, Fq, T)
         x = x * std[:, None] + mean[:, None]
-        out = x.view(B, S, -1, 2, Fq, T).permute(0, 1, 2, 4, 5, 3)
-        zout = torch.view_as_complex(out.contiguous())
+        if self.cac:
+            out = x.view(B, S, -1, 2, Fq, T).permute(0, 1, 2, 4, 5, 3)
+            zout = torch.view_as_complex(out.contiguous())
+        else:
+            # magnitude head, wiener_iters == 0: openunmix wiener with zero
+            # EM iterations is raw-head * mixture phase (per 300-frame
+            # window, which is window-independent at 0 iterations).
+            phase = z / (1e-8 + z.abs())
+            zout = x * phase[:, None]
         xf = self._ispec(zout, length)
         xt = xt.view(B, S, -1, length)
         xt = xt * stdt[:, None] + meant[:, None]
@@ -557,19 +567,21 @@ class HDemucsOracle(nn.Module):
     norm_starts, LSTM/attention DConv past dconv_lstm/attn, no transformer."""
 
     def __init__(self, sources, channels=8, nfft=512, depth=4, norm_starts=2,
-                 dconv_lstm=2, dconv_attn=2, samplerate=44100, segment=0.5):
+                 dconv_lstm=2, dconv_attn=2, samplerate=44100, segment=0.5,
+                 cac=True):
         super().__init__()
         self.sources, self.channels, self.nfft, self.depth = sources, channels, nfft, depth
         self.hop_length = nfft // 4
         self.samplerate, self.segment = samplerate, segment
         self.audio_channels = 2
+        self.cac = cac
         kernel_size, stride, growth = 8, 4, 2
 
         self.encoder = nn.ModuleList()
         self.decoder = nn.ModuleList()
         self.tencoder = nn.ModuleList()
         self.tdecoder = nn.ModuleList()
-        chin, chin_z = 2, 4
+        chin, chin_z = 2, (4 if cac else 2)
         chout = chout_z = channels
         freqs = nfft // 2
         for index in range(depth):
@@ -596,7 +608,7 @@ class HDemucsOracle(nn.Module):
             self.encoder.append(enc)
             if index == 0:
                 chin = 2 * len(sources)
-                chin_z = chin * 2
+                chin_z = chin * 2 if cac else chin
             dec = HDecLayerV3(chout_z, chin_z, last=index == 0, kernel_size=ker,
                               stride=stri, freq=freq, pad=pad, norm=norm)
             if freq:
@@ -635,7 +647,10 @@ class HDemucsOracle(nn.Module):
         length = mix.shape[-1]
         z = self._spec(mix)
         B, C, Fq, T = z.shape
-        mag = torch.view_as_real(z).permute(0, 1, 4, 2, 3).reshape(B, C * 2, Fq, T)
+        if self.cac:
+            mag = torch.view_as_real(z).permute(0, 1, 4, 2, 3).reshape(B, C * 2, Fq, T)
+        else:
+            mag = z.abs()
         x = mag
         mean = x.mean(dim=(1, 2, 3), keepdim=True)
         std = x.std(dim=(1, 2, 3), keepdim=True)
@@ -683,8 +698,15 @@ class HDemucsOracle(nn.Module):
         S = len(self.sources)
         x = x.view(B, S, -1, Fq, T)
         x = x * std[:, None] + mean[:, None]
-        out = x.view(B, S, -1, 2, Fq, T).permute(0, 1, 2, 4, 5, 3)
-        zout = torch.view_as_complex(out.contiguous())
+        if self.cac:
+            out = x.view(B, S, -1, 2, Fq, T).permute(0, 1, 2, 4, 5, 3)
+            zout = torch.view_as_complex(out.contiguous())
+        else:
+            # magnitude head, wiener_iters == 0: openunmix wiener with zero
+            # EM iterations is raw-head * mixture phase (per 300-frame
+            # window, which is window-independent at 0 iterations).
+            phase = z / (1e-8 + z.abs())
+            zout = x * phase[:, None]
         xf = self._ispec(zout, length)
         xt = xt.view(B, S, -1, length)
         xt = xt * stdt[:, None] + meant[:, None]
