@@ -297,6 +297,7 @@ class HTDemucsOracle(nn.Module):
         self.hop_length = nfft // 4
         self.samplerate, self.segment = samplerate, segment
         self.audio_channels = 2
+        self.cac = True  # v4 is always complex-as-channels
         kernel_size, stride, growth = 8, 4, 2
         dconv_kw = {"compress": 8, "depth": 2, "init": 1e-3}
 
