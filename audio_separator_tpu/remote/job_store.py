@@ -173,7 +173,17 @@ class FirestoreJobStore(InMemoryJobStore):
     def cleanup_old_jobs(self, max_age_seconds: float = 86400.0) -> int:
         cutoff = time.time() - max_age_seconds
         removed = 0
-        for doc in self._collection.where("_updated_at", "<", cutoff).stream():
+        try:
+            # Keyword FieldFilter form: the positional where(field, op, value)
+            # is deprecated in current google-cloud-firestore and slated for
+            # removal.
+            from google.cloud.firestore_v1 import FieldFilter
+
+            query = self._collection.where(
+                filter=FieldFilter("_updated_at", "<", cutoff))
+        except ImportError:  # older clients (or injected test doubles)
+            query = self._collection.where("_updated_at", "<", cutoff)
+        for doc in query.stream():
             doc.reference.delete()
             removed += 1
         return removed

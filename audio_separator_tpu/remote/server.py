@@ -69,14 +69,35 @@ def _to_bool(value: str) -> bool:
     return str(value).lower() in ("true", "1", "yes", "on")
 
 
+def _allowed_input_buckets():
+    """Buckets the server may fetch ``gcs_uri`` inputs from.
+
+    Server-side fetches run with the service account's credentials, so an
+    unrestricted ``gcs_uri`` would let any requester exfiltrate any object the
+    service account can read (confused deputy). The allowlist comes from
+    ``AUDSEP_GCS_INPUT_BUCKETS`` (comma-separated), falling back to the
+    deployment's own ``AUDSEP_GCS_BUCKET``. Empty ⇒ gcs_uri submissions are
+    refused entirely.
+    """
+    raw = (os.environ.get("AUDSEP_GCS_INPUT_BUCKETS")
+           or os.environ.get("AUDSEP_GCS_BUCKET") or "")
+    return [b.strip() for b in raw.split(",") if b.strip()]
+
+
 def _fetch_gcs(gcs_uri: str):
     """Download a gs://bucket/path object → (basename, bytes). Requires
-    google-cloud-storage (deferred import; clear error when absent)."""
+    google-cloud-storage (deferred import; clear error when absent). Only
+    buckets in :func:`_allowed_input_buckets` may be read."""
     if not gcs_uri.startswith("gs://"):
         raise ValueError(f"not a gs:// URI: {gcs_uri}")
     bucket_name, _, blob_path = gcs_uri[len("gs://"):].partition("/")
     if not bucket_name or not blob_path:
         raise ValueError(f"malformed GCS URI: {gcs_uri}")
+    allowed = _allowed_input_buckets()
+    if bucket_name not in allowed:
+        raise PermissionError(
+            f"bucket {bucket_name!r} is not in the configured input allowlist "
+            "(set AUDSEP_GCS_INPUT_BUCKETS or AUDSEP_GCS_BUCKET)")
     from google.cloud import storage  # optional dep
 
     client = storage.Client()
@@ -255,6 +276,21 @@ def make_handler(service: SeparatorService):
         def _error(self, status, detail):
             self._json({"detail": detail}, status=status)
 
+        def _authorized(self) -> bool:
+            """Optional shared-key gate (AUDSEP_API_KEY). When set, job
+            submission/status/download require ``X-API-Key: <key>`` or
+            ``Authorization: Bearer <key>``; listing/health stay open."""
+            key = os.environ.get("AUDSEP_API_KEY")
+            if not key:
+                return True
+            supplied = self.headers.get("X-API-Key", "")
+            auth = self.headers.get("Authorization", "")
+            if auth.startswith("Bearer "):
+                supplied = supplied or auth[len("Bearer "):]
+            import hmac
+
+            return hmac.compare_digest(supplied, key)
+
         # ------------------------------------------------------------- routes
 
         def do_GET(self):
@@ -282,6 +318,9 @@ def make_handler(service: SeparatorService):
                                       model_file_dir=service.model_file_dir)
                 self._json(separator.get_simplified_model_list())
             elif path.startswith("/status/"):
+                if not self._authorized():
+                    self._error(401, "invalid or missing API key")
+                    return
                 task_id = path[len("/status/"):]
                 data = service.get_status(task_id)
                 if data is None:
@@ -289,6 +328,9 @@ def make_handler(service: SeparatorService):
                 else:
                     self._json(data)
             elif path.startswith("/download/"):
+                if not self._authorized():
+                    self._error(401, "invalid or missing API key")
+                    return
                 parts = path[len("/download/"):].split("/")
                 if len(parts) != 2:
                     self._error(404, "File not found")
@@ -316,6 +358,9 @@ def make_handler(service: SeparatorService):
             if path != "/separate":
                 self._error(404, "Not found")
                 return
+            if not self._authorized():
+                self._error(401, "invalid or missing API key")
+                return
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             content_type = self.headers.get("Content-Type", "")
@@ -335,6 +380,9 @@ def make_handler(service: SeparatorService):
                     # gcs_uri option): fetch the object server-side.
                     try:
                         filename, file_bytes = _fetch_gcs(gcs_uri)
+                    except PermissionError as exc:
+                        self._error(403, str(exc))
+                        return
                     except Exception as exc:
                         self._error(400, f"could not fetch {gcs_uri}: {exc}")
                         return

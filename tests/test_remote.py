@@ -298,3 +298,98 @@ def test_gcs_uri_submission(monkeypatch, tmp_path):
         assert payload["status"] == "queued" and payload["task_id"]
     finally:
         srv.shutdown()
+
+def test_gcs_uri_bucket_allowlist(monkeypatch):
+    """_fetch_gcs refuses buckets outside AUDSEP_GCS_INPUT_BUCKETS /
+    AUDSEP_GCS_BUCKET (confused-deputy guard: the server's service account
+    must not become an open GCS proxy)."""
+    from audio_separator_tpu.remote import server as server_mod
+
+    monkeypatch.delenv("AUDSEP_GCS_INPUT_BUCKETS", raising=False)
+    monkeypatch.delenv("AUDSEP_GCS_BUCKET", raising=False)
+    # No allowlist configured: every bucket refused, before any GCS import.
+    with pytest.raises(PermissionError):
+        server_mod._fetch_gcs("gs://victim-bucket/secret.wav")
+
+    monkeypatch.setenv("AUDSEP_GCS_INPUT_BUCKETS", "uploads-a, uploads-b")
+    with pytest.raises(PermissionError):
+        server_mod._fetch_gcs("gs://victim-bucket/secret.wav")
+    assert server_mod._allowed_input_buckets() == ["uploads-a", "uploads-b"]
+
+    # Fallback to the deployment's own output bucket.
+    monkeypatch.delenv("AUDSEP_GCS_INPUT_BUCKETS", raising=False)
+    monkeypatch.setenv("AUDSEP_GCS_BUCKET", "deploy-bucket")
+    assert server_mod._allowed_input_buckets() == ["deploy-bucket"]
+
+
+def test_gcs_uri_submission_rejected_outside_allowlist(monkeypatch, tmp_path):
+    """An out-of-allowlist gcs_uri submission returns 403 over HTTP."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from audio_separator_tpu.remote import server as server_mod
+
+    monkeypatch.delenv("AUDSEP_GCS_INPUT_BUCKETS", raising=False)
+    monkeypatch.delenv("AUDSEP_GCS_BUCKET", raising=False)
+    srv = server_mod.serve(port=0, work_dir=str(tmp_path))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        boundary = "XBOUND"
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="gcs_uri"\r\n\r\ngs://victim/secret.wav\r\n'
+                f"--{boundary}--\r\n").encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/separate", data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with pytest.raises(urllib.error.HTTPError) as excinfo:
+            urllib.request.urlopen(req, timeout=10)
+        assert excinfo.value.code == 403
+    finally:
+        srv.shutdown()
+
+
+def test_api_key_gate(monkeypatch, tmp_path):
+    """With AUDSEP_API_KEY set, /separate//status//download require the key;
+    /health and the root stay open."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from audio_separator_tpu.remote import server as server_mod
+
+    monkeypatch.setenv("AUDSEP_API_KEY", "sekrit")
+    srv = server_mod.serve(port=0, work_dir=str(tmp_path))
+    port = srv.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=10) as resp:
+            assert resp.status == 200
+
+        with pytest.raises(urllib.error.HTTPError) as excinfo:
+            urllib.request.urlopen(base + "/status/nope", timeout=10)
+        assert excinfo.value.code == 401
+
+        # Correct key (either header form) reaches the handler: 404 job.
+        for headers in ({"X-API-Key": "sekrit"},
+                        {"Authorization": "Bearer sekrit"}):
+            req = urllib.request.Request(base + "/status/nope", headers=headers)
+            with pytest.raises(urllib.error.HTTPError) as excinfo:
+                urllib.request.urlopen(req, timeout=10)
+            assert excinfo.value.code == 404
+
+        boundary = "XBOUND"
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="model"\r\n\r\nx\r\n--{boundary}--\r\n').encode()
+        req = urllib.request.Request(
+            base + "/separate", data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with pytest.raises(urllib.error.HTTPError) as excinfo:
+            urllib.request.urlopen(req, timeout=10)
+        assert excinfo.value.code == 401
+    finally:
+        srv.shutdown()
