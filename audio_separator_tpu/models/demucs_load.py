@@ -84,16 +84,20 @@ def load_demucs_checkpoint(path: str) -> Tuple[str, HTDemucsConfig, Dict[str, An
     kwargs = dict(package.get("kwargs") or {})
     args = tuple(package.get("args") or ())
     state = package["state"]
-    if isinstance(state, dict) and state.get("__quantized"):
-        raise NotImplementedError(
-            "diffq-quantized demucs checkpoints are not supported yet "
-            f"(found in {path})")
 
     if klass_name not in ("HTDemucs", "HDemucs"):
         raise NotImplementedError(
             f"Demucs model class {klass_name} not supported (HTDemucs v4 and "
             f"HDemucs v3 only; legacy v1/v2/TasNet are unreachable through the "
             f"reference's model list); file: {path}")
+
+    if isinstance(state, dict) and state.get("__quantized"):
+        # diffq-quantized package (ref: states.py:34-64 set_state →
+        # diffq.restore_quantized_state): dequantize positionally against the
+        # constructor-derived parameter manifest, no diffq needed.
+        from .diffq_restore import restore_quantized_state
+
+        state = restore_quantized_state(state, klass_name, kwargs, args)
 
     cfg = config_from_kwargs(kwargs, args)
     if klass_name == "HDemucs":
@@ -108,7 +112,10 @@ def load_demucs_checkpoint(path: str) -> Tuple[str, HTDemucsConfig, Dict[str, An
         parts = key.split(".")
         for part in parts[:-1]:
             node = node.setdefault(part, {})
-        node[parts[-1]] = value.detach().to(torch.float32).numpy()
+        if isinstance(value, np.ndarray):  # dequantized diffq restore
+            node[parts[-1]] = value.astype(np.float32)
+        else:
+            node[parts[-1]] = value.detach().to(torch.float32).numpy()
     return klass_name, cfg, tree
 
 
