@@ -97,16 +97,18 @@ def convert_roformer(sd: Dict[str, np.ndarray], cfg: RoformerConfig) -> Dict[str
     layout: BandLayout = band_layout(cfg)
     nb, max_in, dim = layout.n_bands, layout.max_in, cfg.dim
 
-    # --- band split (padded) -------------------------------------------------
-    gamma = np.zeros((nb, max_in), np.float32)
-    w = np.zeros((nb, max_in, dim), np.float32)
-    b = np.zeros((nb, dim), np.float32)
-    for i in range(nb):
-        di = int(layout.in_dims[i])
-        gamma[i, :di] = sd[f"band_split.to_features.{i}.0.gamma"]
-        w[i, :di, :] = sd[f"band_split.to_features.{i}.1.weight"].T
-        b[i] = sd[f"band_split.to_features.{i}.1.bias"]
-    params: Dict[str, Any] = {"band_split": {"gamma": gamma, "w": w, "b": b}}
+    # --- band split (unpadded per equal-width run) ---------------------------
+    bs_groups = []
+    for (s0, e0, width, _dense) in layout.runs:
+        gamma = np.stack([sd[f"band_split.to_features.{i}.0.gamma"]
+                          for i in range(s0, e0)])
+        w = np.stack([sd[f"band_split.to_features.{i}.1.weight"].T
+                      for i in range(s0, e0)])
+        bs_groups.append({"gamma": gamma.astype(np.float32),
+                          "w": w.astype(np.float32)})
+    b = np.stack([sd[f"band_split.to_features.{i}.1.bias"] for i in range(nb)])
+    params: Dict[str, Any] = {"band_split": {"groups": bs_groups,
+                                             "b": b.astype(np.float32)}}
 
     # --- transformer blocks (stacked for scan) -------------------------------
     has_inner_norm = cfg.kind == "mel"  # norm_output=True for mel variant
@@ -137,10 +139,15 @@ def convert_roformer(sd: Dict[str, np.ndarray], cfg: RoformerConfig) -> Dict[str
         params["final_norm"] = {"gamma": sd["final_norm.gamma"]}
 
     # --- mask estimators (padded, stacked over stems) ------------------------
+    # The reference's two MLP builders disagree on what `depth` means:
+    # bs_roformer.py:190 builds `depth` linears ((dim_hidden,) * (depth - 1))
+    # while mel_band_roformer.py:149 builds `depth + 1` ((dim_hidden,) * depth)
+    # — so a mel checkpoint with mask_estimator_depth=1 has TWO linears.
     depth = cfg.mask_estimator_depth
+    n_hidden = depth if cfg.kind == "mel" else depth - 1
     hidden_dim = cfg.dim * cfg.mlp_expansion_factor
     hidden_layers = []
-    for h in range(depth - 1):
+    for h in range(n_hidden):
         seq_idx = 2 * h
         in_dim = dim if h == 0 else hidden_dim
         wh = np.zeros((cfg.num_stems, nb, in_dim, hidden_dim), np.float32)
@@ -152,27 +159,25 @@ def convert_roformer(sd: Dict[str, np.ndarray], cfg: RoformerConfig) -> Dict[str
                 bh[s, i] = sd[f"{key}.bias"]
         hidden_layers.append({"w": wh, "b": bh})
 
-    final_in = dim if depth == 1 else hidden_dim
-    final_idx = 2 * (depth - 1)
-    val_w = np.zeros((cfg.num_stems, nb, final_in, max_in), np.float32)
-    val_b = np.zeros((cfg.num_stems, nb, max_in), np.float32)
-    gate_w = np.zeros_like(val_w)
-    gate_b = np.zeros_like(val_b)
-    for s in range(cfg.num_stems):
-        for i in range(nb):
-            di = int(layout.in_dims[i])
-            key = f"mask_estimators.{s}.to_freqs.{i}.0.{final_idx}"
-            wt = sd[f"{key}.weight"]  # (2*di, in)
-            bt = sd[f"{key}.bias"]
-            val_w[s, i, :, :di] = wt[:di].T
-            gate_w[s, i, :, :di] = wt[di:].T
-            val_b[s, i, :di] = bt[:di]
-            gate_b[s, i, :di] = bt[di:]
-    params["mask_est"] = {
-        "hidden": hidden_layers,
-        "val_w": val_w, "val_b": val_b,
-        "gate_w": gate_w, "gate_b": gate_b,
-    }
+    final_idx = 2 * n_hidden
+    me_groups = []
+    for (s0, e0, width, _dense) in layout.runs:
+        vw, vb, gw, gb = [], [], [], []
+        for s in range(cfg.num_stems):
+            vw.append([]); vb.append([]); gw.append([]); gb.append([])
+            for i in range(s0, e0):
+                key = f"mask_estimators.{s}.to_freqs.{i}.0.{final_idx}"
+                wt = sd[f"{key}.weight"]  # (2*width, in) — GLU: value ; gate
+                bt = sd[f"{key}.bias"]
+                vw[s].append(wt[:width].T); gw[s].append(wt[width:].T)
+                vb[s].append(bt[:width]);   gb[s].append(bt[width:])
+        me_groups.append({
+            "val_w": np.asarray(vw, np.float32),   # (S, g, in, width)
+            "val_b": np.asarray(vb, np.float32),   # (S, g, width)
+            "gate_w": np.asarray(gw, np.float32),
+            "gate_b": np.asarray(gb, np.float32),
+        })
+    params["mask_est"] = {"hidden": hidden_layers, "groups": me_groups}
     return params
 
 

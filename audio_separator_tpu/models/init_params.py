@@ -3,57 +3,59 @@
 Used by benchmarks / compile checks / sharding dry-runs when no trained
 checkpoint is on disk (the driver environment has no network egress); the
 pytree layout is identical to ``convert.convert_roformer`` output.
+
+Two fill backends share one structure builder:
+
+* ``init_roformer_params`` — numpy, for tests/small configs. Large leaves
+  tile a 1M-gaussian pool: this host has ONE shared vCPU where
+  ``standard_normal`` runs at ~1M/s under load, and first-touch page faults
+  cap fresh-allocation writes at ~20 MB/s — direct generation of the ~240M
+  flagship params took minutes and blew the bench watchdog.
+* ``init_roformer_params_device`` — ``jax.random`` under one jit, so the
+  whole tree materialises in device HBM: zero host RNG, zero host pages,
+  zero H2D transfer. The path benchmarks/dryruns should use.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Callable, Dict
 
 import numpy as np
 
 from .roformer import RoformerConfig, band_layout
 
 
-def init_roformer_params(cfg: RoformerConfig, seed: int = 0, scale: float = 0.02) -> Dict[str, Any]:
-    rng = np.random.default_rng(seed)
+def _build_params(cfg: RoformerConfig, w: Callable, zeros: Callable,
+                  ones: Callable) -> Dict[str, Any]:
     layout = band_layout(cfg)
-    nb, max_in, dim = layout.n_bands, layout.max_in, cfg.dim
+    nb, dim = layout.n_bands, cfg.dim
     h, dh = cfg.heads, cfg.dim_head
     hidden = dim * 4
-
-    def w(*shape):
-        return (rng.standard_normal(shape) * scale).astype(np.float32)
-
-    def band_masked(*shape):
-        arr = w(*shape)
-        mask = layout.in_mask
-        if shape[-1] == max_in:
-            arr *= mask.reshape((1,) * (len(shape) - 2) + (nb, max_in)) if len(shape) > 2 else mask
-        return arr
 
     def trans_stack(inner_depth: int, with_norm: bool):
         d = cfg.depth
         stack = {
-            "attn_norm": np.ones((d, inner_depth, dim), np.float32),
+            "attn_norm": ones(d, inner_depth, dim),
             "wqkv": w(d, inner_depth, dim, 3 * h * dh),
             "gate_w": w(d, inner_depth, dim, h),
-            "gate_b": np.zeros((d, inner_depth, h), np.float32),
+            "gate_b": zeros(d, inner_depth, h),
             "wo": w(d, inner_depth, h * dh, dim),
-            "ff_norm": np.ones((d, inner_depth, dim), np.float32),
+            "ff_norm": ones(d, inner_depth, dim),
             "ff_w1": w(d, inner_depth, dim, hidden),
-            "ff_b1": np.zeros((d, inner_depth, hidden), np.float32),
+            "ff_b1": zeros(d, inner_depth, hidden),
             "ff_w2": w(d, inner_depth, hidden, dim),
-            "ff_b2": np.zeros((d, inner_depth, dim), np.float32),
+            "ff_b2": zeros(d, inner_depth, dim),
         }
         if with_norm:
-            stack["out_norm"] = np.ones((d, dim), np.float32)
+            stack["out_norm"] = ones(d, dim)
         return stack
 
     params: Dict[str, Any] = {
         "band_split": {
-            "gamma": layout.in_mask.copy(),
-            "w": w(nb, max_in, dim) * layout.in_mask[:, :, None],
-            "b": np.zeros((nb, dim), np.float32),
+            "groups": [{"gamma": ones(e0 - s0, width),
+                        "w": w(e0 - s0, width, dim)}
+                       for (s0, e0, width, _dense) in layout.runs],
+            "b": zeros(nb, dim),
         },
         "blocks": {
             "time": trans_stack(cfg.time_transformer_depth, cfg.kind == "mel"),
@@ -64,29 +66,85 @@ def init_roformer_params(cfg: RoformerConfig, seed: int = 0, scale: float = 0.02
         lin = trans_stack(cfg.linear_transformer_depth, cfg.kind == "mel")
         for gate_key in ("gate_w", "gate_b"):
             lin.pop(gate_key)
-        lin["temperature"] = np.ones(
-            (cfg.depth, cfg.linear_transformer_depth, h), np.float32)
+        lin["temperature"] = ones(cfg.depth, cfg.linear_transformer_depth, h)
         params["blocks"]["linear"] = lin
     if cfg.kind == "bs":
-        params["final_norm"] = {"gamma": np.ones(dim, np.float32)}
+        params["final_norm"] = {"gamma": ones(dim)}
 
     mask_hidden = dim * cfg.mlp_expansion_factor
+    # mel MLPs have one more hidden layer than bs for the same depth
+    # (ref: mel_band_roformer.py:149 vs bs_roformer.py:190 — see convert.py).
+    n_hidden = (cfg.mask_estimator_depth if cfg.kind == "mel"
+                else cfg.mask_estimator_depth - 1)
     hidden_layers = []
-    for i in range(cfg.mask_estimator_depth - 1):
+    for i in range(n_hidden):
         in_dim = dim if i == 0 else mask_hidden
         hidden_layers.append({
             "w": w(cfg.num_stems, nb, in_dim, mask_hidden),
-            "b": np.zeros((cfg.num_stems, nb, mask_hidden), np.float32),
+            "b": zeros(cfg.num_stems, nb, mask_hidden),
         })
-    final_in = dim if cfg.mask_estimator_depth == 1 else mask_hidden
+    final_in = dim if n_hidden == 0 else mask_hidden
     params["mask_est"] = {
         "hidden": hidden_layers,
-        "val_w": w(cfg.num_stems, nb, final_in, max_in),
-        "val_b": np.zeros((cfg.num_stems, nb, max_in), np.float32),
-        "gate_w": w(cfg.num_stems, nb, final_in, max_in),
-        "gate_b": np.zeros((cfg.num_stems, nb, max_in), np.float32),
+        "groups": [
+            {"val_w": w(cfg.num_stems, e0 - s0, final_in, width),
+             "val_b": zeros(cfg.num_stems, e0 - s0, width),
+             "gate_w": w(cfg.num_stems, e0 - s0, final_in, width),
+             "gate_b": zeros(cfg.num_stems, e0 - s0, width)}
+            for (s0, e0, width, _dense) in layout.runs
+        ],
     }
     return params
+
+
+def init_roformer_params(cfg: RoformerConfig, seed: int = 0,
+                         scale: float = 0.02) -> Dict[str, Any]:
+    rng = np.random.default_rng(seed)
+    pool = (rng.standard_normal(1 << 20) * scale).astype(np.float32)
+
+    def w(*shape):
+        n = int(np.prod(shape))
+        if n <= pool.size:
+            return pool[:n].reshape(shape).copy()
+        reps = -(-n // pool.size)
+        return np.tile(pool, reps)[:n].reshape(shape)
+
+    def zeros(*shape):
+        return np.zeros(shape, np.float32)
+
+    def ones(*shape):
+        return np.ones(shape, np.float32)
+
+    return _build_params(cfg, w, zeros, ones)
+
+
+def init_roformer_params_device(cfg: RoformerConfig, seed: int = 0,
+                                scale: float = 0.02,
+                                dtype=None) -> Dict[str, Any]:
+    """Materialise the random tree directly in device memory (one jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+
+    def build():
+        key = jax.random.PRNGKey(seed)
+        counter = [0]
+
+        def w(*shape):
+            counter[0] += 1
+            k = jax.random.fold_in(key, counter[0])
+            return jax.random.normal(k, shape, dtype) * jnp.asarray(scale, dtype)
+
+        def zeros(*shape):
+            return jnp.zeros(shape, dtype)
+
+        def ones(*shape):
+            return jnp.ones(shape, dtype)
+
+        return _build_params(cfg, w, zeros, ones)
+
+    return jax.jit(build)()
 
 
 # The 62-band layout used by the flagship BS-RoFormer checkpoints

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import dot_product_attention
+from ..ops.exec_options import DEFAULT_EXEC, ExecutionOptions
 from ..ops.stft import hann_window, istft, stft
 from .melbands import mel_band_membership
 
@@ -87,6 +88,14 @@ class BandLayout:
     in_dims: np.ndarray  # (n_bands,) int32 valid widths (feature count)
     in_mask: np.ndarray  # (n_bands, max_in) float32 pad mask
     denom: np.ndarray  # (n_feat,) float32 per-feature overlap counts
+    # Contiguous runs of equal-width bands: (band_start, band_end, width,
+    # dense) — ``dense`` marks runs whose feature ranges tile contiguously
+    # (true for all BS bands; mel bands overlap). Band-split and
+    # mask-estimator weights are stored *per run without padding*: padding
+    # every band to max_in costs ~15x the params on the flagship 62-band
+    # layout (two (2, 62, 2048, 516) leaves = 520 MB bf16 where the real
+    # checkpoint holds 34 MB) — pure HBM/upload/FLOP waste.
+    runs: tuple
 
 
 @functools.lru_cache(maxsize=16)
@@ -127,25 +136,35 @@ def band_layout(cfg: RoformerConfig) -> BandLayout:
         starts[i] = int(bins[0]) * s * 2
         in_mask[i, : dims[i]] = 1.0
         counts[starts[i] : starts[i] + dims[i]] += 1.0
+    runs = []
+    i = 0
+    while i < n_bands:
+        j = i
+        while j + 1 < n_bands and dims[j + 1] == dims[i]:
+            j += 1
+        w = int(dims[i])
+        dense = all(int(starts[k + 1]) == int(starts[k]) + w for k in range(i, j))
+        runs.append((i, j + 1, w, dense))
+        i = j + 1
     return BandLayout(n_bands, max_in, n_feat, starts, dims, in_mask,
-                      np.maximum(counts, 1e-8))
+                      np.maximum(counts, 1e-8), tuple(runs))
 
 
 # ---------------------------------------------------------------------------
 # Functional blocks
 
 
-def _rmsnorm(x: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+def _rmsnorm(x: jnp.ndarray, gamma: jnp.ndarray,
+             norm_mode: str = "fp32") -> jnp.ndarray:
     """torch: F.normalize(x, dim=-1) * sqrt(d) * gamma (fp32 internally).
 
-    ``AUDSEP_NORM=bf16`` keeps the normalised activations in the compute
-    dtype end-to-end (the sum-of-squares still accumulates in fp32, which is
-    what carries the precision); A/B switch for fusion behaviour on TPU.
+    ``norm_mode="bf16"`` (ExecutionOptions.norm) keeps the normalised
+    activations in the compute dtype end-to-end (the sum-of-squares still
+    accumulates in fp32, which is what carries the precision); A/B switch for
+    fusion behaviour on TPU.
     """
-    import os
-
     scale = np.sqrt(x.shape[-1])
-    if os.environ.get("AUDSEP_NORM") == "bf16":
+    if norm_mode == "bf16":
         ssq = jnp.sum(x.astype(jnp.float32) * x.astype(jnp.float32), axis=-1,
                       keepdims=True)
         inv = (scale * jax.lax.rsqrt(jnp.maximum(ssq, 1e-24))).astype(x.dtype)
@@ -172,20 +191,20 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
-               rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]) -> jnp.ndarray:
+               rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+               opts: "ExecutionOptions" = None) -> jnp.ndarray:
     """Gated multi-head attention (ref: bs_roformer.py Attention).
 
-    ``AUDSEP_QKV=einsum`` expresses the head split/merge as einsum
+    ``opts.qkv="einsum"`` expresses the head split/merge as einsum
     contractions producing ``(b, h, n, dh)`` directly instead of
     reshape+transpose chains — on TPU the transposes materialise as HBM
     layout copies that the device trace showed costing as much as the
     attention matmuls themselves.
     """
-    import os
-
+    opts = opts or DEFAULT_EXEC
     b, n, d = x.shape
-    xn = _rmsnorm(x, p["attn_norm"])
-    qkv_mode = os.environ.get("AUDSEP_QKV")
+    xn = _rmsnorm(x, p["attn_norm"], opts.norm)
+    qkv_mode = opts.qkv
     if qkv_mode is None:
         # Default: einsum head projections whenever the Pallas attention
         # kernel is available (TPU) — einsum projections hand (b,h,n,dh) to
@@ -215,7 +234,7 @@ def _attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
         cos, sin = rope
         q = q * cos + _rotate_half(q) * sin
         k = k * cos + _rotate_half(k) * sin
-    out = dot_product_attention(q, k, v).astype(x.dtype)
+    out = dot_product_attention(q, k, v, force=opts.attn).astype(x.dtype)
     gates = jax.nn.sigmoid(xn @ p["gate_w"] + p["gate_b"])  # (b, n, h)
     out = out * gates.transpose(0, 2, 1)[..., None]
     if merge_einsum:
@@ -256,8 +275,9 @@ def _linear_attention(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
     return out @ p["wo"]
 
 
-def _feedforward(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    xn = _rmsnorm(x, p["ff_norm"])
+def _feedforward(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
+                 norm_mode: str = "fp32") -> jnp.ndarray:
+    xn = _rmsnorm(x, p["ff_norm"], norm_mode)
     h = jax.nn.gelu(xn @ p["ff_w1"] + p["ff_b1"], approximate=False)
     return h @ p["ff_w2"] + p["ff_b2"]
 
@@ -265,7 +285,8 @@ def _feedforward(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
 def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
                  inner_depth: int,
                  rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
-                 linear: bool = False) -> jnp.ndarray:
+                 linear: bool = False,
+                 opts: ExecutionOptions = None) -> jnp.ndarray:
     """Inner transformer: `inner_depth` × (attn + ff), optional output norm.
 
     `stack` leaves carry a leading (inner_depth, ...) axis.
@@ -274,13 +295,12 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
     kernel (norm+qkv+RoPE+attention+gate+proj+residual VMEM-resident; see
     ops/attention_block.py) — the sequence axis is padded to the 128-lane
     granularity once around the whole inner stack, key columns masked by
-    ``n_valid``, and the feedforward halves stay in XLA. ``AUDSEP_BLOCK``
+    ``n_valid``, and the feedforward halves stay in XLA. ``opts.block``
     overrides: ``off`` (unfused), ``pallas`` (force), ``pallas_full``
     (also fuse the feedforward half, ops/attention_block.fused_ff_block).
     """
-    import os
-
-    block_mode = os.environ.get("AUDSEP_BLOCK")
+    opts = opts or DEFAULT_EXEC
+    block_mode = opts.block
     if block_mode is None:
         # Default: both halves of every layer as fused Pallas kernels wherever
         # they are available (TPU). Measured on the flagship forward (2×8 s
@@ -303,10 +323,9 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
             # flagship forward it cut 306 ms → 216 ms per 2×8 s chunk vs
             # 128-padding (freq axis 62→64 instead of 62→128 halves that
             # half's matmul work; time axis 801→832 instead of 896 saves 7%).
-            # AUDSEP_SEQ_PAD overrides the granularity for A/B (rounded up
+            # opts.seq_pad overrides the granularity for A/B (rounded up
             # to a 64-multiple: the fused kernels assert n_pad % 64 == 0).
-            gran = int(os.environ.get("AUDSEP_SEQ_PAD", "0")) or 64
-            gran = -(-gran // 64) * 64
+            gran = -(-opts.seq_pad // 64) * 64
             pad = (-n) % gran
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
@@ -324,11 +343,11 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
                                        layer["ff_b1"], layer["ff_w2"],
                                        layer["ff_b2"])
                 else:
-                    x = x + _feedforward(layer, x)
+                    x = x + _feedforward(layer, x, opts.norm)
             if pad:
                 x = x[:, :n]
             if "out_norm" in stack:
-                x = _rmsnorm(x, stack["out_norm"])
+                x = _rmsnorm(x, stack["out_norm"], opts.norm)
             return x
 
     for j in range(inner_depth):
@@ -336,10 +355,10 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
         if linear:
             x = x + _linear_attention(layer, x, heads)
         else:
-            x = x + _attention(layer, x, heads, rope)
-        x = x + _feedforward(layer, x)
+            x = x + _attention(layer, x, heads, rope, opts)
+        x = x + _feedforward(layer, x, opts.norm)
     if "out_norm" in stack:
-        x = _rmsnorm(x, stack["out_norm"])
+        x = _rmsnorm(x, stack["out_norm"], opts.norm)
     return x
 
 
@@ -347,49 +366,60 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
 # Full model
 
 
-def _gather_bands(feats: jnp.ndarray, layout: BandLayout) -> jnp.ndarray:
-    """feats (B, T, n_feat) → (B, T, nb, max_in) via static slices (zero-padded)."""
-    parts = []
-    for i in range(layout.n_bands):
-        start, width = int(layout.starts[i]), int(layout.in_dims[i])
-        piece = feats[..., start : start + width]
-        if width < layout.max_in:
-            piece = jnp.pad(piece, [(0, 0)] * (piece.ndim - 1)
-                            + [(0, layout.max_in - width)])
-        parts.append(piece)
-    return jnp.stack(parts, axis=-2)
+def _gather_run(feats: jnp.ndarray, layout: BandLayout, run) -> jnp.ndarray:
+    """feats (B, T, n_feat) → (B, T, g, w) for one equal-width band run —
+    a single reshape when the run's feature ranges tile contiguously."""
+    s0, e0, w, dense = run
+    if dense:
+        fs = int(layout.starts[s0])
+        g = e0 - s0
+        return feats[..., fs : fs + g * w].reshape(*feats.shape[:-1], g, w)
+    return jnp.stack(
+        [feats[..., int(layout.starts[i]) : int(layout.starts[i]) + w]
+         for i in range(s0, e0)], axis=-2)
 
 
-def _band_split(p: Dict[str, jnp.ndarray], feats: jnp.ndarray,
+def _band_split(p: Dict[str, Any], feats: jnp.ndarray,
                 layout: BandLayout, compute_dtype) -> jnp.ndarray:
-    """feats (B, T, n_feat) → (B, T, n_bands, dim) via padded batched einsum."""
-    xb32 = _gather_bands(feats, layout).astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(xb32 * xb32, axis=-1, keepdims=True))
-    scale = jnp.sqrt(layout.in_dims.astype(np.float32))[:, None]
-    xn = xb32 / jnp.maximum(norm, 1e-12) * scale
-    xn = (xn * p["gamma"]).astype(compute_dtype)
-    return jnp.einsum("btni,nid->btnd", xn, p["w"].astype(compute_dtype),
-                      preferred_element_type=jnp.float32).astype(compute_dtype) + p["b"].astype(compute_dtype)
+    """feats (B, T, n_feat) → (B, T, n_bands, dim): per-run unpadded batched
+    einsums (ref: BandSplit, bs_roformer.py — RMSNorm over the band's real
+    features then Linear(dim_in → dim))."""
+    outs = []
+    for run, gp in zip(layout.runs, p["groups"]):
+        _, _, w, _ = run
+        xb32 = _gather_run(feats, layout, run).astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(xb32 * xb32, axis=-1, keepdims=True))
+        xn = xb32 / jnp.maximum(norm, 1e-12) * np.sqrt(w)
+        xn = (xn * gp["gamma"]).astype(compute_dtype)
+        outs.append(jnp.einsum(
+            "btni,nid->btnd", xn, gp["w"].astype(compute_dtype),
+            preferred_element_type=jnp.float32).astype(compute_dtype))
+    x = jnp.concatenate(outs, axis=-2)
+    return x + p["b"].astype(compute_dtype)
 
 
 def _mask_estimate(p: Dict[str, Any], x: jnp.ndarray, layout: BandLayout,
-                   cfg: RoformerConfig) -> jnp.ndarray:
-    """x (B, T, nb, dim) → per-stem padded band features (B, T, ns, nb, max_in).
+                   cfg: RoformerConfig) -> list:
+    """x (B, T, nb, dim) → per-run band features [(B, T, ns, g, w), ...].
 
-    MLP (depth-1 hidden tanh layers) + GLU, all stems/bands batched in single
-    einsums (ref: MaskEstimator, bs_roformer.py:205-229).
-    """
+    MLP hidden tanh layers batched over all bands, then the final GLU
+    projection per equal-width run *without padding* (ref: MaskEstimator,
+    bs_roformer.py:205-229; mel_band_roformer.py:164-188)."""
     h = x[:, :, None]  # (B, T, 1, nb, dim)
     for layer in p["hidden"]:
         h = jnp.einsum("btsnd,sndh->btsnh", h, layer["w"],
                        preferred_element_type=jnp.float32).astype(x.dtype) + layer["b"]
         h = jnp.tanh(h)
-    val = jnp.einsum("btsnd,sndo->btsno", h, p["val_w"],
-                     preferred_element_type=jnp.float32) + p["val_b"]
-    gate = jnp.einsum("btsnd,sndo->btsno", h, p["gate_w"],
-                      preferred_element_type=jnp.float32) + p["gate_b"]
-    out = val * jax.nn.sigmoid(gate)
-    return out * jnp.asarray(layout.in_mask)
+    outs = []
+    for run, gp in zip(layout.runs, p["groups"]):
+        s0, e0, _, _ = run
+        hg = h[..., s0:e0, :]
+        val = jnp.einsum("btsnd,sndo->btsno", hg, gp["val_w"],
+                         preferred_element_type=jnp.float32) + gp["val_b"]
+        gate = jnp.einsum("btsnd,sndo->btsno", hg, gp["gate_w"],
+                          preferred_element_type=jnp.float32) + gp["gate_b"]
+        outs.append(val * jax.nn.sigmoid(gate))
+    return outs
 
 
 def apply_roformer(
@@ -397,12 +427,16 @@ def apply_roformer(
     cfg: RoformerConfig,
     audio: jnp.ndarray,
     compute_dtype=jnp.float32,
+    opts: ExecutionOptions = None,
 ) -> jnp.ndarray:
     """Forward pass: ``audio (B, channels, T)`` → stems ``(B, num_stems, channels, T_out)``.
 
     Mirrors BSRoformer.forward / MelBandRoformer.forward semantics
     (ref: bs_roformer.py:418-514, mel_band_roformer.py:332-442).
+    ``opts`` (ops/exec_options.py) selects kernel/layout variants explicitly —
+    nothing under the trace reads the environment.
     """
+    opts = opts or DEFAULT_EXEC
     layout = band_layout(cfg)
     # One-time cast of the weight pytree to the compute dtype (fused by XLA);
     # norms still accumulate in fp32 internally.
@@ -435,34 +469,44 @@ def apply_roformer(
         if "linear" in lp:
             flat = x.reshape(b, tf * layout.n_bands, cfg.dim)
             flat = _transformer(lp["linear"], flat, heads,
-                                cfg.linear_transformer_depth, None, linear=True)
+                                cfg.linear_transformer_depth, None, linear=True,
+                                opts=opts)
             x = flat.reshape(b, tf, layout.n_bands, cfg.dim)
         # time attention: tokens = frames, bands folded into batch
         xt = x.transpose(0, 2, 1, 3).reshape(b * layout.n_bands, tf, cfg.dim)
-        xt = _transformer(lp["time"], xt, heads, cfg.time_transformer_depth, time_rope)
+        xt = _transformer(lp["time"], xt, heads, cfg.time_transformer_depth,
+                          time_rope, opts=opts)
         x = xt.reshape(b, layout.n_bands, tf, cfg.dim).transpose(0, 2, 1, 3)
         # freq attention: tokens = bands, frames folded into batch
         xf = x.reshape(b * tf, layout.n_bands, cfg.dim)
-        xf = _transformer(lp["freq"], xf, heads, cfg.freq_transformer_depth, freq_rope)
+        xf = _transformer(lp["freq"], xf, heads, cfg.freq_transformer_depth,
+                          freq_rope, opts=opts)
         x = xf.reshape(b, tf, layout.n_bands, cfg.dim)
         return x, None
 
     x, _ = jax.lax.scan(outer_block, x, params["blocks"])
 
     if "final_norm" in params:
-        x = _rmsnorm(x, params["final_norm"]["gamma"])
+        x = _rmsnorm(x, params["final_norm"]["gamma"], opts.norm)
 
-    banded = _mask_estimate(params["mask_est"], x, layout, cfg)
-    banded = banded.astype(jnp.float32)
+    banded_runs = _mask_estimate(params["mask_est"], x, layout, cfg)
 
     # Band → frequency-feature recombination: static-slice adds (no scatter;
-    # BS bands are disjoint so this degenerates to a concat, Mel bands overlap
-    # and sum, averaged by band counts below).
+    # BS bands are disjoint so dense runs degenerate to reshaped concats, Mel
+    # bands overlap and sum, averaged by band counts below).
     ns = cfg.num_stems
     acc = jnp.zeros((b, tf, ns, layout.n_feat), dtype=jnp.float32)
-    for i in range(layout.n_bands):
-        start, width = int(layout.starts[i]), int(layout.in_dims[i])
-        acc = acc.at[..., start : start + width].add(banded[..., i, :width])
+    for run, o in zip(layout.runs, banded_runs):
+        s0, e0, w, dense = run
+        o = o.astype(jnp.float32)  # (b, tf, ns, g, w)
+        if dense:
+            fs = int(layout.starts[s0])
+            g = e0 - s0
+            acc = acc.at[..., fs : fs + g * w].add(o.reshape(b, tf, ns, g * w))
+        else:
+            for j in range(e0 - s0):
+                st = int(layout.starts[s0 + j])
+                acc = acc.at[..., st : st + w].add(o[..., j, :])
     if cfg.kind == "mel":
         acc = acc / jnp.asarray(layout.denom)
 

@@ -125,20 +125,22 @@ def _pallas_fused_attention(q, k, v, scale, group: Optional[int] = None,
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          scale: Optional[float] = None) -> jnp.ndarray:
+                          scale: Optional[float] = None,
+                          force: Optional[str] = None) -> jnp.ndarray:
     """Self-attention over (B, H, N, D) tensors; returns (B, H, N, D).
 
-    Implementation dispatch is overridable with ``AUDSEP_ATTN``
-    (``einsum`` | ``pallas``) for A/B perf work; default heuristic keeps
-    short sequences on the fused-by-XLA einsum path and mid-length ones on
-    the whole-sequence Pallas kernel.
+    Implementation dispatch is overridable with ``force``
+    (``einsum`` | ``pallas``, from ExecutionOptions.attn) for A/B perf work;
+    default heuristic keeps short sequences on the fused-by-XLA einsum path
+    and mid-length ones on the whole-sequence Pallas kernel.
     """
-    import os
-
     n = q.shape[2]
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    force = os.environ.get("AUDSEP_ATTN")
+    if force is None:
+        from .exec_options import DEFAULT_EXEC
+
+        force = DEFAULT_EXEC.attn
     if force == "einsum":
         return _einsum_attention(q, k, v, scale)
     if force == "pallas" and _flash_available():

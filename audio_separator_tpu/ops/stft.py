@@ -122,9 +122,9 @@ def _idft_matrices(n_fft: int):
 
 
 def _stft_impl() -> str:
-    import os
+    from .exec_options import DEFAULT_EXEC
 
-    return os.environ.get("AUDSEP_STFT_IMPL", "fft")
+    return DEFAULT_EXEC.stft
 
 
 def _rfft_frames(frames: jnp.ndarray) -> jnp.ndarray:

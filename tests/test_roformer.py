@@ -112,11 +112,12 @@ def test_mel_membership_properties():
     assert freq_indices.sum() == (member * np.arange(1025)[None, :]).sum()
 
 
-def test_bf16_norm_switch_close_to_fp32(monkeypatch):
-    """AUDSEP_NORM=bf16 keeps the forward within bf16 rounding of default."""
+def test_bf16_norm_switch_close_to_fp32():
+    """ExecutionOptions(norm="bf16") stays within bf16 rounding of default."""
     import jax.numpy as jnp
     from audio_separator_tpu.models.init_params import init_roformer_params
     from audio_separator_tpu.models.roformer import RoformerConfig, apply_roformer
+    from audio_separator_tpu.ops.exec_options import ExecutionOptions
 
     cfg = RoformerConfig(kind="bs", dim=32, depth=1, stereo=True, num_stems=2,
                          time_transformer_depth=1, freq_transformer_depth=1,
@@ -127,21 +128,19 @@ def test_bf16_norm_switch_close_to_fp32(monkeypatch):
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((1, 2, 2048)).astype(np.float32))
     base = np.asarray(apply_roformer(params, cfg, audio))
-    monkeypatch.setenv("AUDSEP_NORM", "bf16")
-    import jax
-    jax.clear_caches()  # env is baked in at trace time
-    fast = np.asarray(apply_roformer(params, cfg, audio))
-    jax.clear_caches()
+    fast = np.asarray(apply_roformer(params, cfg, audio,
+                                     opts=ExecutionOptions(norm="bf16")))
     scale = np.abs(base).max()
     assert np.abs(fast - base).max() < 0.02 * scale
 
 
-def test_einsum_qkv_switch_matches_default(monkeypatch):
-    """AUDSEP_QKV=einsum is a pure layout change — identical numerics."""
-    import jax
+def test_einsum_qkv_switch_matches_default():
+    """ExecutionOptions(qkv="einsum") is a pure layout change — identical
+    numerics, no env var or cache clearing involved."""
     import jax.numpy as jnp
     from audio_separator_tpu.models.init_params import init_roformer_params
     from audio_separator_tpu.models.roformer import RoformerConfig, apply_roformer
+    from audio_separator_tpu.ops.exec_options import ExecutionOptions
 
     cfg = RoformerConfig(kind="bs", dim=32, depth=2, stereo=True, num_stems=2,
                          time_transformer_depth=1, freq_transformer_depth=1,
@@ -151,9 +150,8 @@ def test_einsum_qkv_switch_matches_default(monkeypatch):
     params = init_roformer_params(cfg, seed=1)
     rng = np.random.default_rng(2)
     audio = jnp.asarray(rng.standard_normal((1, 2, 2048)).astype(np.float32))
-    base = np.asarray(apply_roformer(params, cfg, audio))
-    monkeypatch.setenv("AUDSEP_QKV", "einsum")
-    jax.clear_caches()  # env is read at trace time
-    alt = np.asarray(apply_roformer(params, cfg, audio))
-    jax.clear_caches()
+    base = np.asarray(apply_roformer(params, cfg, audio,
+                                     opts=ExecutionOptions(qkv="matmul")))
+    alt = np.asarray(apply_roformer(params, cfg, audio,
+                                    opts=ExecutionOptions(qkv="einsum")))
     np.testing.assert_allclose(alt, base, atol=1e-5)

@@ -107,17 +107,20 @@ def test_packed_istft_roundtrip():
 
 
 def test_matmul_dft_matches_fft(monkeypatch):
-    """AUDSEP_STFT_IMPL=matmul evaluates the same transform on the MXU."""
+    """ExecutionOptions(stft="matmul") evaluates the same transform on the MXU
+    (process-level switch: DEFAULT_EXEC is parsed once at import, so tests
+    swap the module attribute rather than the environment)."""
     import numpy as np
 
-    from audio_separator_tpu.ops import stft as stft_mod
+    from audio_separator_tpu.ops import exec_options, stft as stft_mod
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((2, 8192)).astype(np.float32)
     win = stft_mod.hann_window(1024)
 
     spec_fft = np.asarray(stft_mod.stft(jnp.asarray(x), 1024, 256, win))
-    monkeypatch.setenv("AUDSEP_STFT_IMPL", "matmul")
+    monkeypatch.setattr(exec_options, "DEFAULT_EXEC",
+                        exec_options.ExecutionOptions(stft="matmul"))
     stft_mod.stft.clear_cache()
     stft_mod.istft.clear_cache()
     try:
@@ -126,6 +129,5 @@ def test_matmul_dft_matches_fft(monkeypatch):
         y = np.asarray(stft_mod.istft(jnp.asarray(spec_mm), 1024, 256, win))
         np.testing.assert_allclose(y, x[:, : y.shape[-1]], atol=2e-4)
     finally:
-        monkeypatch.delenv("AUDSEP_STFT_IMPL")
         stft_mod.stft.clear_cache()
         stft_mod.istft.clear_cache()

@@ -124,8 +124,13 @@ class Transformer(nn.Module):
         return self.norm(x)
 
 
-def mlp(dim_in, dim_out, hidden, depth):
-    layers, dims = [], (dim_in, *([hidden] * (depth - 1)), dim_out)
+def mlp(dim_in, dim_out, hidden, depth, n_hidden=None):
+    # `depth` follows bs_roformer.py:190 (`depth` linears); the mel file
+    # builds one more hidden layer for the same depth value
+    # (mel_band_roformer.py:149) — callers pass n_hidden to override.
+    if n_hidden is None:
+        n_hidden = depth - 1
+    layers, dims = [], (dim_in, *([hidden] * n_hidden), dim_out)
     for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
         layers.append(nn.Linear(a, b))
         if i < len(dims) - 2:
@@ -173,8 +178,10 @@ class RoformerOracle(nn.Module):
         self.mask_estimators = nn.ModuleList()
         for _ in range(num_stems):
             est = nn.Module()
+            n_hidden = mask_depth if kind == "mel" else mask_depth - 1
             est.to_freqs = nn.ModuleList(
-                [nn.Sequential(mlp(dim, d * 2, dim * mult, mask_depth), nn.GLU(dim=-1))
+                [nn.Sequential(mlp(dim, d * 2, dim * mult, mask_depth,
+                                   n_hidden=n_hidden), nn.GLU(dim=-1))
                  for d in dims_in]
             )
             self.mask_estimators.append(est)
