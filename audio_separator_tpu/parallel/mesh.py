@@ -77,30 +77,35 @@ def roformer_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, An
       wo   (D, L, h*dh, dim)     → shard -2   (row-parallel out-proj, psum)
       ff_w1(D, L, dim, hidden)   → shard last (column-parallel)
       ff_w2(D, L, hidden, dim)   → shard -2   (row-parallel, psum)
-    Gates/norms/biases replicate; band split & mask estimators replicate
-    (they are a tiny fraction of FLOPs).
+    The mask-estimator MLP is the parameter-count heavyweight (the flagship's
+    hidden layer is (2, 62, 512, 2048) = 130M params, over half the model) —
+    it shards the same Megatron way: hidden ``w`` column-parallel on its
+    output feature dim, the final val/gate projections row-parallel on their
+    hidden input dim (psum inserted by XLA SPMD). Gates/norms/biases and the
+    (tiny) band split replicate.
     """
     col = {"wqkv", "ff_w1"}
     row = {"wo", "ff_w2"}
 
-    def spec_for(path_key: str, leaf) -> NamedSharding:
+    def spec_for(path: tuple, leaf) -> NamedSharding:
+        key = path[-1] if path else ""
         rank = np.ndim(leaf)
-        if path_key in col:
-            spec = [None] * rank
+        in_mask_est = "mask_est" in path
+        spec = [None] * rank
+        if key in col or (in_mask_est and key == "w"):
             spec[-1] = "model"
             return NamedSharding(mesh, P(*spec))
-        if path_key in row:
-            spec = [None] * rank
+        if key in row or (in_mask_est and key in ("val_w", "gate_w")):
             spec[-2] = "model"
             return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
-    def walk(tree, key=""):
+    def walk(tree, path=()):
         if isinstance(tree, dict):
-            return {k: walk(v, k) for k, v in tree.items()}
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
         if isinstance(tree, (list, tuple)):
-            return type(tree)(walk(v, key) for v in tree)
-        return spec_for(key, tree)
+            return type(tree)(walk(v, path) for v in tree)
+        return spec_for(path, tree)
 
     return walk(params)
 

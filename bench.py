@@ -82,7 +82,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from audio_separator_tpu.models.init_params import flagship_config, init_roformer_params
+    from audio_separator_tpu.models.init_params import (
+        flagship_config, init_roformer_params_device)
     from audio_separator_tpu.models.roformer import apply_roformer
     from audio_separator_tpu.ops.demix import overlap_add_demix
     from audio_separator_tpu.ops.stft import hamming_window
@@ -99,23 +100,37 @@ def main():
     # link (51x vs 19x end-to-end measured at B=4 vs B=2).
     batch_size = 4
 
-    params = init_roformer_params(cfg, seed=0)
-    params = jax.device_put(jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params))
+    def _mark(msg):
+        print(f"[bench +{time.time() - t_start:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    _mark(f"devices: {jax.devices()}")
+    # On-device random init: the host has one shared vCPU with ~20 MB/s
+    # first-touch page faults, so materialising ~0.5 GB of weights host-side
+    # then shipping them over the ~24 MB/s tunnel blew the stage-1 watchdog.
+    params = init_roformer_params_device(cfg, seed=0, dtype=jnp.bfloat16)
+    jax.block_until_ready(params)
+    _mark("params resident (device-side init)")
 
     def model_fn(p, chunks):  # (B, 2, chunk) -> (B, S, 2, chunk)
         out = apply_roformer(p, cfg, chunks, compute_dtype=jnp.bfloat16)
         return out[..., : chunks.shape[-1]]
 
     # ---- stage 1: model-only forward RTF (device-resident, no transfers) ----
-    fwd = jax.jit(model_fn)
+    # NOTE: block_until_ready() does NOT reliably block on the tethered axon
+    # backend — force completion by reducing on device and fetching the
+    # scalar (one 4-byte D2H, negligible vs the forward).
+    # Sum over the FULL output so nothing is dead-code-eliminated; the
+    # reduction itself is noise next to the transformer stack.
+    fwd = jax.jit(lambda p, c: jnp.sum(model_fn(p, c).astype(jnp.float32)))
     rng = np.random.default_rng(0)
     batch_dev = jax.device_put(
         (rng.standard_normal((batch_size, 2, chunk)) * 0.1).astype(np.float32))
-    fwd(params, batch_dev).block_until_ready()  # compile
+    float(fwd(params, batch_dev))  # compile + sync
+    _mark("stage-1 compile done")
     t_fwd = float("inf")
     for _ in range(3):
         t0 = time.time()
-        fwd(params, batch_dev).block_until_ready()
+        float(fwd(params, batch_dev))
         t_fwd = min(t_fwd, time.time() - t0)
     rtf_model = (batch_size * chunk / sr) / t_fwd
     _emit(rtf_model, "model_only_forward",
@@ -139,6 +154,7 @@ def main():
     t0 = time.time()
     out = run(seconds)  # warmup: compile the exact program shape measured below
     warm_s = time.time() - t0
+    _mark(f"stage-2 warmup done ({warm_s:.1f}s)")
     assert np.isfinite(out).all()
     # Best of up to five measured passes within budget: the tethered link's
     # throughput swings 2-4x between minutes-long regimes (relay-side); the
