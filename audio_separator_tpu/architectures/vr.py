@@ -22,6 +22,7 @@ import numpy as np
 
 from ..models.convert import load_torch_state_dict
 from ..models.vr_nets import predict_mask_v5, predict_mask_v51, state_dict_to_tree
+from ..ops.demix import tiled_mask_predict
 from ..ops import spec as spec_ops
 from ..ops import vr_bands
 from ..ops.resample import resample_poly_np
@@ -103,7 +104,10 @@ class VRSeparator(BaseSeparator):
         self._params = jax.device_put(state_dict_to_tree(sd))
         self.logger.debug(f"VR model loaded: arch_size={arch_size}, v51={self.is_vr_51_model}")
 
-    def _predict_batch(self, batch: np.ndarray) -> np.ndarray:
+    def _predict_fn(self):
+        """The un-jitted ``(params, (B, 2, bins, window)) -> (B, 2, bins, roi)``
+        mask network, cached so the shared engine's jit cache keys stay
+        stable across calls."""
         if self._jit_predict is None:
             n_fft_bins = self.mp["bins"] * 2
             if self.is_vr_51_model:
@@ -119,8 +123,8 @@ class VRSeparator(BaseSeparator):
                     return base(params, x.astype(jnp.bfloat16)).astype(jnp.float32)
             else:
                 fn = base
-            self._jit_predict = jax.jit(fn)
-        return np.asarray(self._jit_predict(self._params, jnp.asarray(batch)))
+            self._jit_predict = fn
+        return self._jit_predict
 
     # --------------------------------------------------------------- separate
 
@@ -211,26 +215,18 @@ class VRSeparator(BaseSeparator):
     # ------------------------------------------------------------- inference
 
     def _execute(self, x_mag_pad: np.ndarray, roi_size: int) -> np.ndarray:
-        patches = (x_mag_pad.shape[2] - 2 * self._offset) // roi_size
-        dataset = np.stack([
-            x_mag_pad[:, :, i * roi_size : i * roi_size + self.window_size]
-            for i in range(patches)
-        ])
-        bs = max(1, int(self.batch_size))
-        masks = []
-        for i in range(0, patches, bs):
-            batch = dataset[i : i + bs]
-            if batch.shape[0] < bs:  # pad to stable jit shape
-                pad = bs - batch.shape[0]
-                batch = np.concatenate([batch, np.zeros((pad, *batch.shape[1:]),
-                                                        batch.dtype)])
-                pred = self._predict_batch(batch)[: patches - i]
-            else:
-                pred = self._predict_batch(batch)
-            if pred.shape[3] <= 0:
-                raise ValueError("Window size error: h1_shape[3] must be greater than h2_shape[3]")
-            masks.append(np.concatenate(list(pred), axis=2))
-        return np.concatenate(masks, axis=2)
+        """One device dispatch per pass: the padded magnitudes run through the
+        shared tiled scan (ops/demix.py:tiled_mask_predict) instead of the
+        reference's host batch loop (ref: vr_separator.py:295-366)."""
+        if self.window_size - 2 * self._offset <= 0:
+            raise ValueError("Window size error: h1_shape[3] must be greater than h2_shape[3]")
+        assert roi_size == self.window_size - 2 * self._offset
+        return tiled_mask_predict(
+            self._predict_fn(), x_mag_pad.astype(np.float32),
+            window=self.window_size, offset=self._offset,
+            batch_size=max(1, int(self.batch_size)),
+            out_c=2, out_f=x_mag_pad.shape[1],
+            model_params=self._params, mesh=self.mesh)
 
     def inference_vr(self, x_spec: np.ndarray, aggressiveness: Dict):
         """(ref: vr_separator.py:295-366)."""

@@ -304,6 +304,95 @@ def overlap_add_demix(
     return np.array(np.asarray(acc)[..., :total])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_fn", "window", "roi", "mesh", "data_axis"),
+)
+def _tile_batch(
+    model_fn: Callable,
+    model_params,
+    spec: jnp.ndarray,  # (C, F, T_pad) f32 padded magnitudes, device-resident
+    idx_b: jnp.ndarray,  # (B,) int32 tile indices
+    window: int,
+    roi: int,
+    mesh=None,
+    data_axis: str = "data",
+):
+    """One batch of non-overlapping mask tiles, gathered on device.
+
+    Tile ``i`` reads ``spec[:, :, i*roi : i*roi + window]`` (tiles overlap by
+    ``window - roi`` on input) and the model returns the centre ``roi`` frames
+    of its mask. The spec stays device-resident across batches and JAX
+    dispatch is async, so unlike the reference's host patch loop
+    (ref: vr_separator.py:295-366) there is no blocking host round-trip per
+    batch — all batches are enqueued back to back and fetched once at the
+    end. (Deliberately NOT a ``lax.scan`` over batches: wrapping the cascade
+    net in a scan body blew XLA:CPU compile time up by >10x in the test
+    environment for zero dispatch benefit once dispatch is async.)
+    """
+    c, f, _ = spec.shape
+
+    def gather_one(i):
+        return jax.lax.dynamic_slice(spec, (0, 0, i * roi), (c, f, window))
+
+    chunks = jax.vmap(gather_one)(idx_b)  # (B, C, F, window)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        chunks = jax.lax.with_sharding_constraint(
+            chunks, NamedSharding(mesh, PartitionSpec(data_axis)))
+    out = (model_fn(model_params, chunks) if model_params is not None
+           else model_fn(chunks))  # (B, out_c, out_f, roi)
+    return out.astype(jnp.float32)
+
+
+def tiled_mask_predict(
+    model_fn: Callable,
+    spec: np.ndarray,
+    window: int,
+    offset: int,
+    batch_size: int,
+    out_c: int,
+    out_f: int,
+    model_params=None,
+    mesh=None,
+    data_axis: str = "data",
+    bucket: bool = True,
+) -> np.ndarray:
+    """Run tiled mask inference over ``spec (C, F, T_pad)`` → mask
+    ``(out_c, out_f, n_tiles*roi)`` where ``roi = window - 2*offset`` and
+    ``n_tiles = (T_pad - 2*offset) // roi``.
+
+    The tile count is bucketed (``bucket_up``) so nearby track lengths (and a
+    TTA pass's half-window shift) reuse one compiled program; dummy tiles
+    read zero-padded input and land in cropped-away output tiles. The spec
+    buffer is shaped by the *bucketed* count only — the program shape must
+    not depend on the raw track length."""
+    c, f, t = spec.shape
+    roi = window - 2 * offset
+    n = (t - 2 * offset) // roi
+    if mesh is not None:
+        batch_size = -(-batch_size // mesh.shape[data_axis]) * mesh.shape[data_axis]
+    n_pad = (bucket_up(n, batch_size) if bucket
+             else -(-n // batch_size) * batch_size)
+    t_need = (n_pad - 1) * roi + window
+    spec_buf = np.zeros((c, f, t_need), dtype=np.float32)
+    spec_buf[:, :, : min(t, t_need)] = spec[:, :, : min(t, t_need)]
+
+    spec_dev = jnp.asarray(spec_buf)  # one upload, shared by every batch
+    tile_idx = np.arange(n_pad, dtype=np.int32)
+    handles = [
+        _tile_batch(model_fn, model_params, spec_dev,
+                    jnp.asarray(tile_idx[i : i + batch_size]),
+                    window, roi, mesh=mesh, data_axis=data_axis)
+        for i in range(0, n_pad, batch_size)
+    ]  # async: all batches in flight before the first fetch blocks
+    mask = np.concatenate(
+        [np.asarray(h).transpose(1, 2, 0, 3).reshape(out_c, out_f, -1)
+         for h in handles], axis=-1)
+    return mask[:, :, : n * roi]
+
+
 def _pipelined_demix(
     model_fn: Callable,
     mix: np.ndarray,

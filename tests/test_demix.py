@@ -197,3 +197,39 @@ def test_demix_pipelined_composes_with_mesh():
                               num_stems=2, batch_size=4, mesh=mesh,
                               pipeline_segments=3)
     np.testing.assert_allclose(piped, base, atol=1e-5)
+
+
+def test_tiled_mask_predict_tiles_and_padding():
+    """Spectrogram tile engine (VR path): exact tiling, batch padding via
+    dummy tail tiles, bucketed program shape."""
+    import jax.numpy as jnp
+
+    from audio_separator_tpu.ops.demix import tiled_mask_predict
+
+    window, offset = 8, 2
+    roi = window - 2 * offset
+
+    def model(params, chunks):  # (B, C, F, window) -> (B, C, F, roi)
+        return chunks[..., offset : window - offset] * 2.0
+
+    c, f, n_tiles = 2, 3, 5
+    t = 2 * offset + n_tiles * roi
+    spec = np.arange(c * f * t, dtype=np.float32).reshape(c, f, t)
+    mask = tiled_mask_predict(model, spec, window, offset, batch_size=2,
+                              out_c=c, out_f=f, model_params={})
+    want = np.concatenate(
+        [spec[:, :, i * roi + offset : i * roi + offset + roi] * 2.0
+         for i in range(n_tiles)], axis=-1)
+    np.testing.assert_allclose(mask, want)
+
+    # A longer track that buckets to the same padded count reuses the same
+    # program shape; results still exact.
+    n2 = 7
+    t2 = 2 * offset + n2 * roi
+    spec2 = np.linspace(-1, 1, c * f * t2, dtype=np.float32).reshape(c, f, t2)
+    mask2 = tiled_mask_predict(model, spec2, window, offset, batch_size=2,
+                               out_c=c, out_f=f, model_params={})
+    want2 = np.concatenate(
+        [spec2[:, :, i * roi + offset : i * roi + offset + roi] * 2.0
+         for i in range(n2)], axis=-1)
+    np.testing.assert_allclose(mask2, want2)
