@@ -85,6 +85,95 @@ def phase_shift_hilbert(signal: np.ndarray, degree: float) -> np.ndarray:
     return np.cos(rad) * analytic.real - np.sin(rad) * analytic.imag
 
 
+def get_phase_shifted_tracks(track: np.ndarray, phase_shift: int) -> list:
+    """Variants of ``track`` phase-rotated in ``phase_shift``-degree steps
+    (ref: spec_utils.get_phase_shifted_tracks:1119-1131): always includes the
+    identity and the polarity flip; finer steps add ±Hilbert rotations."""
+    if phase_shift == 180:
+        return [track, -track]
+    step = phase_shift
+    end = 180 - (180 % step) if 180 % step == 0 else 181
+    flipped = [track, -track]
+    for deg in range(step, end, step):
+        flipped.extend([phase_shift_hilbert(track, deg),
+                        phase_shift_hilbert(track, -deg)])
+    return flipped
+
+
+def time_correction(
+    mix: np.ndarray,
+    instrumental: np.ndarray,
+    align_window: Sequence[float] = (0.08, 0.12, 0.25),
+    db_analysis: Tuple[float, Sequence[float]] = (0.0, (0.0,)),
+    sample_rate: int = 44100,
+    phase_shifts: Optional[int] = None,
+    ensemble_split_size: int = 12,
+) -> np.ndarray:
+    """Windowed drift-tolerant vocal extraction: ``mix − align(instrumental)``.
+
+    Re-design of the reference's ``time_correction``
+    (ref: spec_utils.py:1134-1243): for each window size in ``align_window``,
+    slide a half-overlapping Hann window over both tracks; inside each window
+    try every dB adjustment in ``db_analysis`` (center gain + offsets) and
+    every phase variant (``phase_shifts`` in degrees; None = identity only),
+    align by the strongest |cross-correlation| peak (circular ``roll``, as the
+    reference does), keep the candidate whose residual ``mix − shifted`` has
+    the least mean |amplitude|, and overlap-add the residuals. The per-window-
+    size results are combined with the least-noisy-chunk waveform ensemble
+    (ops/spec.ensemble_wav).
+
+    Accepts mono ``(T,)`` or channel-first ``(C, T)`` arrays (the repo-wide
+    layout; the reference uses (T, C)).
+    """
+    from .spec import ensemble_wav
+
+    assert mix.shape == instrumental.shape, (
+        f"Audio files must have the same shape - Mix: {mix.shape}, "
+        f"Inst: {instrumental.shape}")
+    mono = mix.ndim == 1
+    mix2 = mix[None, :] if mono else mix
+    inst2 = instrumental[None, :] if mono else instrumental
+
+    center_db, db_range = db_analysis
+    inst2 = inst2 * np.power(10.0, center_db / 20.0)
+
+    def align_window_pair(wm: np.ndarray, wi: np.ndarray) -> np.ndarray:
+        variants = ([wi] if phase_shifts is None
+                    else get_phase_shifted_tracks(wi, phase_shifts))
+        best_resid, best = None, None
+        for db_adj in db_range:
+            gain = 10.0 ** (db_adj / 20.0)
+            for cand in variants:
+                adj = cand * gain
+                corr = _cross_correlate(wm, adj)
+                delay = int(np.argmax(np.abs(corr))) - (len(wm) - 1)
+                shifted = np.roll(adj, delay)
+                resid = float(np.abs(wm - shifted).mean())
+                if best_resid is None or resid < best_resid:
+                    best_resid, best = resid, shifted
+        return best
+
+    subs = {}
+    for secs in align_window:
+        window_size = int(sample_rate * secs)
+        step_size = int(sample_rate * secs / 2)
+        window = np.hanning(window_size)
+        sub = np.zeros_like(mix2)
+        divider = np.zeros_like(mix2)
+        for ch in range(mix2.shape[0]):
+            for i in range(0, mix2.shape[1] - window_size, step_size):
+                wm = mix2[ch, i : i + window_size] * window
+                wi = inst2[ch, i : i + window_size] * window
+                aligned = align_window_pair(wm, wi)
+                sub[ch, i : i + window_size] += wm - aligned
+                divider[ch, i : i + window_size] += window
+        sub = np.where(divider > 1e-6, sub / divider, sub)
+        subs[float(np.abs(sub).mean())] = sub
+
+    out = ensemble_wav(list(subs.values()), split_size=ensemble_split_size)
+    return out[0] if mono else out
+
+
 def align_tracks(
     wav1: np.ndarray,
     wav2: np.ndarray,

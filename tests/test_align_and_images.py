@@ -76,3 +76,49 @@ def test_images_and_ssim(fixtures_dir, tmp_path):
     with open(png_path, "rb") as f:
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
     assert os.path.getsize(png_path) > 1000
+
+
+def test_time_correction_recovers_vocal_under_drift():
+    """time_correction beats naive subtraction on a slowly drifting
+    instrumental (ref: spec_utils.time_correction:1134-1243 semantics)."""
+    from audio_separator_tpu.ops.align import time_correction
+
+    sr = 8000
+    rng = np.random.default_rng(7)
+    n = sr * 2
+    t = np.arange(n) / sr
+    # High-frequency carrier with a slow random envelope: a ±25-sample drift
+    # fully decorrelates it (period 10 samples), so naive subtraction fails
+    # while windowed re-alignment can re-lock.
+    env = np.convolve(rng.standard_normal(n), np.ones(400) / 400, mode="same")
+    instrumental = env * np.sin(2 * np.pi * 800 * t)
+    instrumental /= np.abs(instrumental).max()
+    vocal = 0.2 * np.sin(2 * np.pi * 330 * t) * (np.sin(2 * np.pi * 0.7 * t) > 0)
+    mix = instrumental + vocal
+
+    # Instrumental as rendered elsewhere: drifts ±25 samples over the track.
+    drift = np.linspace(-25.0, 25.0, n)
+    drifted = np.interp(np.clip(np.arange(n) + drift, 0, n - 1),
+                        np.arange(n), instrumental)
+
+    naive = mix - drifted
+    corrected = time_correction(mix, drifted, align_window=(0.08, 0.12, 0.25),
+                                sample_rate=sr)
+    err_naive = np.abs(naive - vocal).mean()
+    err_tc = np.abs(corrected - vocal).mean()
+    assert err_tc < 0.5 * err_naive, (err_tc, err_naive)
+
+
+def test_time_correction_stereo_shapes_and_db_scan():
+    from audio_separator_tpu.ops.align import time_correction
+
+    sr = 4000
+    rng = np.random.default_rng(1)
+    n = sr  # 1 s
+    inst = rng.standard_normal((2, n)) * 0.5
+    mix = inst * 10 ** (3 / 20) + 0.05 * rng.standard_normal((2, n))
+    out = time_correction(mix, inst, align_window=(0.1,),
+                          db_analysis=(0.0, (0.0, 3.0, 6.0)), sample_rate=sr)
+    assert out.shape == mix.shape
+    # The +3 dB candidate should be chosen → residual well below mix level.
+    assert np.abs(out).mean() < 0.5 * np.abs(mix).mean()
