@@ -1,5 +1,7 @@
 """BSS Eval implementation sanity + stem verification classifier tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -98,3 +100,66 @@ def test_isr_differs_from_sar_and_nan_for_mono():
     res_mono = bss_eval([ref.mean(0), other.mean(0)],
                         [est.mean(0), other.mean(0)], window_seconds=1.0)
     assert np.isnan(res_mono[0]["ISR"])
+
+
+def test_scores_entry_schema_matches_reference_snapshot():
+    """tools/model_metrics.make_entry emits entries byte-compatible in shape
+    with the reference's models-scores.json (carried in data/scores.json)."""
+    import importlib.util
+    import json
+    from importlib import resources
+
+    spec = importlib.util.spec_from_file_location(
+        "model_metrics",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "model_metrics.py"))
+    mm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mm)
+
+    with resources.files("audio_separator_tpu.data").joinpath(
+            "scores.json").open("r", encoding="utf-8") as f:
+        snapshot = json.load(f)
+    ref_entry = snapshot["1_HP-UVR.pth"]
+
+    got = mm.make_entry(
+        "VR Arch Single Model v5: 1_HP-UVR",
+        [{"track_name": "Synth - Track",
+          "scores": {"vocals": {"SDR": 5.248713, "SIR": 15.46238,
+                                "SAR": 4.833914, "ISR": 8.885696},
+                     "instrumental": {"SDR": 14.89268, "SIR": 19.31578,
+                                      "SAR": 18.24, "ISR": 18.81073}}}],
+        "instrumental")
+
+    # Exact key structure parity, level by level.
+    assert list(got) == list(ref_entry)
+    assert list(got["track_scores"][0]) == list(ref_entry["track_scores"][0])
+    ref_stem_scores = ref_entry["track_scores"][0]["scores"]
+    got_stem_scores = got["track_scores"][0]["scores"]
+    assert set(got_stem_scores) == set(ref_stem_scores)
+    for stem in got_stem_scores:
+        assert list(got_stem_scores[stem]) == ["SDR", "SIR", "SAR", "ISR"]
+    for stem, metrics in got["median_scores"].items():
+        assert list(metrics) == ["SDR", "SIR", "SAR", "ISR"]
+        for v in metrics.values():
+            assert v == float(f"{v:.6g}")  # 6-significant-digit policy
+    assert got["stems"] == ref_entry["stems"]
+    assert got["target_stem"] == ref_entry["target_stem"]
+
+
+def test_packaged_scores_carry_reference_track_scores():
+    """data/scores.json carries the reference's full per-track museval data
+    (ref models-scores.json: 115 models, track_scores per MUSDB18 track)."""
+    import json
+    from importlib import resources
+
+    with resources.files("audio_separator_tpu.data").joinpath(
+            "scores.json").open("r", encoding="utf-8") as f:
+        scores = json.load(f)
+    assert len(scores) == 115
+    with_tracks = [k for k, v in scores.items() if v.get("track_scores")]
+    assert len(with_tracks) >= 90  # 96 of 115 reference entries carry per-track data
+    entry = scores[with_tracks[0]]
+    assert {"model_name", "track_scores", "median_scores", "stems",
+            "target_stem"} <= set(entry)
+    rec = entry["track_scores"][0]
+    stem_scores = next(iter(rec["scores"].values()))
+    assert {"SDR", "SIR", "SAR", "ISR"} <= set(stem_scores)

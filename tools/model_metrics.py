@@ -48,6 +48,24 @@ def track_references(track_dir: str):
     return refs
 
 
+def _sig6(value: float) -> float:
+    """Reference files carry 6 significant digits (e.g. 5.24871, 14.8927)."""
+    return float(f"{float(value):.6g}")
+
+
+def friendly_model_name(separator, model_filename: str) -> str:
+    """Map a checkpoint filename to its registry friendly name — the
+    reference's entries key ``model_name`` that way (models-scores.json)."""
+    try:
+        for _arch, models in separator.list_supported_model_files().items():
+            for name, info in models.items():
+                if info.get("filename") == model_filename:
+                    return name
+    except Exception:
+        pass
+    return model_filename
+
+
 def evaluate_model(model_filename: str, musdb_root: str, limit_tracks=None):
     from audio_separator_tpu.separator import Separator
 
@@ -60,7 +78,6 @@ def evaluate_model(model_filename: str, musdb_root: str, limit_tracks=None):
     separator.load_model(model_filename)
 
     track_scores = []
-    per_stem_frames = {}
     for track in tracks:
         track_dir = os.path.join(test_dir, track)
         mixture = os.path.join(track_dir, "mixture.wav")
@@ -88,24 +105,41 @@ def evaluate_model(model_filename: str, musdb_root: str, limit_tracks=None):
             if not estimates:
                 continue
             results = bss_eval(references, estimates)
-            scores = {stem: res for stem, res in zip(stem_names, results)}
+            scores = {
+                stem: {metric: _sig6(res[metric])
+                       for metric in ("SDR", "SIR", "SAR", "ISR")}
+                for stem, res in zip(stem_names, results)
+            }
             track_scores.append({"track_name": track, "scores": scores})
-            for stem, res in scores.items():
-                per_stem_frames.setdefault(stem, []).append(res)
             print(f"  {track}: " + ", ".join(
                 f"{s} SDR={r['SDR']:.2f}" for s, r in scores.items()), flush=True)
 
+    target = getattr(separator.model_instance, "primary_stem_name", None)
+    return make_entry(friendly_model_name(separator, model_filename),
+                      track_scores,
+                      target.lower() if isinstance(target, str) else None)
+
+
+def make_entry(model_name: str, track_scores: list, target_stem):
+    """Assemble one models-scores.json entry in the reference's exact schema
+    (ref: models-scores.json / tests/model-metrics/test-all-models.py:30-43):
+    {model_name, track_scores: [{track_name, scores: {stem: {SDR,SIR,SAR,ISR}}}],
+     median_scores, stems, target_stem}."""
+    per_stem = {}
+    for rec in track_scores:
+        for stem, res in rec["scores"].items():
+            per_stem.setdefault(stem, []).append(res)
     median_scores = {
-        stem: {metric: float(np.median([r[metric] for r in rows]))
+        stem: {metric: _sig6(np.median([r[metric] for r in rows]))
                for metric in ("SDR", "SIR", "SAR", "ISR")}
-        for stem, rows in per_stem_frames.items()
+        for stem, rows in per_stem.items()
     }
     return {
-        "model_name": model_filename,
+        "model_name": model_name,
         "track_scores": track_scores,
         "median_scores": median_scores,
-        "stems": sorted(per_stem_frames),
-        "target_stem": None,
+        "stems": sorted(per_stem),
+        "target_stem": target_stem,
     }
 
 
