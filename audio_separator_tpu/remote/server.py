@@ -301,7 +301,7 @@ def make_handler(service: SeparatorService):
                     "version": __version__,
                     "endpoints": ["/separate", "/status/{task_id}",
                                   "/download/{task_id}/{file_hash}", "/models",
-                                  "/models-json", "/health"],
+                                  "/models-json", "/presets", "/health"],
                 })
             elif path == "/health":
                 self._json({"status": "healthy", "version": __version__})
@@ -317,6 +317,10 @@ def make_handler(service: SeparatorService):
                 separator = Separator(info_only=True,
                                       model_file_dir=service.model_file_dir)
                 self._json(separator.get_simplified_model_list())
+            elif path == "/presets":
+                from .asgi import _load_presets
+
+                self._json(_load_presets())
             elif path.startswith("/status/"):
                 if not self._authorized():
                     self._error(401, "invalid or missing API key")
