@@ -135,6 +135,16 @@ def main():
     rtf_model = (batch_size * chunk / sr) / t_fwd
     _emit(rtf_model, "model_only_forward",
           {"ms_per_forward": round(t_fwd * 1e3, 1), "batch": batch_size})
+    # Stage 1 is a valid record: swap the zero-emitting stage-1 watchdog for
+    # a quiet exit at the end of the total budget, so stage 2 gets the whole
+    # remaining window instead of being killed at the stage-1 deadline with
+    # its upgrade lost (observed on the 240 s default track).
+    watchdog.cancel()
+    watchdog = threading.Timer(
+        max(5.0, total_budget - (time.time() - t_start) - 5.0),
+        lambda: os._exit(0))
+    watchdog.daemon = True
+    watchdog.start()
 
     # ---- stage 2: end-to-end demix over the full track ----
     window = np.asarray(hamming_window(chunk))
