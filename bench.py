@@ -2,18 +2,25 @@
 """Headline benchmark: BS-RoFormer (flagship, ep_317-class config) real-time
 factor on one TPU chip.
 
-Staged so a result lands under ANY driver budget (round 1's record was a bare
-timeout):
+Two layers of defence against the tethered-TPU environment (round 1's record
+was a bare timeout; a tunnel wedge reproduced mid-round-2 where a device op
+blocked forever with a *warm* compile cache):
 
-  stage 1 — model-only forward RTF: compile one (B, 2, chunk) forward, time it
-            device-resident, and print a JSON record immediately (~1-2 min
-            warm-cache, bounded by a 380 s watchdog that emits a zero record).
-  stage 2 — end-to-end demix RTF over a 240 s track through the production
-            engine (windowed chunk batching, STFT → 12-layer axial RoFormer →
-            mask → iSTFT fused in one jitted scan, pipelined transfers);
-            if it completes within the remaining budget it prints an upgraded
-            record. If the process is killed mid-stage-2, stage 1's line is
-            already in the output tail.
+  supervisor (this process) — spawns the measurement as a child process,
+      forwards its output, and if the child stalls (no stage-1 record within
+      its slice) kills it and retries with the remaining budget. A wedged
+      device op can only be cleared by killing the process that issued it.
+      Guarantees at least one JSON line is printed before the driver's
+      timeout regardless of what the tunnel does.
+
+  worker (child, AUDSEP_BENCH_WORKER=1) — staged measurement:
+      stage 1: model-only forward RTF, printed as soon as one chunk is timed
+               (~1-2 min warm-cache).
+      stage 2: end-to-end demix RTF over the full track through the
+               production engine (windowed chunk batching, STFT → 12-layer
+               axial RoFormer → mask → iSTFT fused in one jitted scan,
+               pipelined transfers); prints an upgraded record if it
+               completes. Killed mid-stage-2, stage 1's line stands.
 
 The LAST printed JSON line is the official record:
   {"metric", "value", "unit", "vs_baseline", "stage"}.
@@ -25,14 +32,104 @@ driver's run after a builder warm-up skips the multi-minute tethered compile.
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
 
-import numpy as np
-
 REPO = os.path.dirname(os.path.abspath(__file__))
 _printed = threading.Event()
+
+
+# ---------------------------------------------------------------------------
+# Supervisor
+
+
+def _supervise():
+    total_budget = float(os.environ.get("BENCH_TIMEOUT_S", 540))
+    t_start = time.time()
+
+    def remaining():
+        return total_budget - (time.time() - t_start)
+
+    last_json = None
+    attempt = 0
+    # Leave 10 s of slack for teardown/printing below the driver's own limit.
+    while remaining() > 90:
+        attempt += 1
+        env = dict(os.environ, AUDSEP_BENCH_WORKER="1")
+        # The worker's internal watchdog is a backstop only; the supervisor
+        # does the real stall policing so it can retry.
+        env["BENCH_TIMEOUT_S"] = str(max(30.0, remaining() - 10.0))
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+            stdout=subprocess.PIPE, stderr=sys.stderr, env=env, text=True,
+            bufsize=1)
+
+        got_stage1 = threading.Event()
+        lines_lock = threading.Lock()
+
+        def pump(stream):
+            nonlocal last_json
+            for line in stream:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                print(line, flush=True)
+                if line.startswith("{"):
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("value", 0) > 0:
+                        with lines_lock:
+                            last_json = line
+                        got_stage1.set()
+
+        reader = threading.Thread(target=pump, args=(child.stdout,), daemon=True)
+        reader.start()
+
+        # Stage-1 stall deadline for this attempt: generous enough for a cold
+        # compile + chip claim (observed ~70 s warm, ~200+ s cold), small
+        # enough to leave a retry window inside a ~540 s budget.
+        stage1_slice = min(float(os.environ.get("BENCH_STAGE1_SLICE_S", 240)),
+                           remaining() - 60)
+        t_attempt = time.time()
+        while child.poll() is None:
+            if got_stage1.is_set():
+                break
+            if time.time() - t_attempt > stage1_slice or remaining() < 45:
+                break
+            time.sleep(1.0)
+
+        if got_stage1.is_set():
+            # Stage 1 landed — give the child the rest of the budget for the
+            # stage-2 upgrade, then kill it (its line is already forwarded).
+            while child.poll() is None and remaining() > 15:
+                time.sleep(1.0)
+            if child.poll() is None:
+                child.kill()
+            reader.join(timeout=5)
+            return 0
+        # Stalled before any result: clear the wedged claim and retry.
+        child.kill()
+        reader.join(timeout=5)
+        print(f"[bench-supervisor] attempt {attempt} stalled after "
+              f"{time.time() - t_attempt:.0f}s; "
+              f"{remaining():.0f}s budget left", file=sys.stderr, flush=True)
+
+    if last_json is None:
+        print(json.dumps({
+            "metric": "bs_roformer_rtf_1chip", "value": 0.0,
+            "unit": "x_realtime", "vs_baseline": 0.0, "stage": "supervisor",
+            "error": f"no result within {total_budget:.0f}s "
+                     f"({attempt} attempts; TPU tunnel stall?)"}), flush=True)
+        return 2
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Worker
 
 
 def _emit(value, stage, extra=None):
@@ -50,10 +147,9 @@ def _emit(value, stage, extra=None):
 
 
 def _arm_watchdog(seconds: float):
-    """Guarantee ONE JSON line even if the TPU tunnel wedges (observed to hang
-    indefinitely): after `seconds`, emit a zero-valued record — unless a real
-    stage already printed, in which case exit quietly so that line stays the
-    record."""
+    """Backstop inside the worker: if the supervisor is bypassed (worker run
+    directly) emit a zero record after `seconds`; exit quietly if a real stage
+    already printed so that line stays the record."""
     def fire():
         if not _printed.is_set():
             _emit(0.0, "watchdog", {
@@ -68,6 +164,8 @@ def _arm_watchdog(seconds: float):
 
 
 def main():
+    import numpy as np
+
     total_budget = float(os.environ.get("BENCH_TIMEOUT_S", 540))
     t_start = time.time()
     stage1_deadline = float(os.environ.get("BENCH_WATCHDOG_S",
@@ -186,4 +284,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("AUDSEP_BENCH_WORKER"):
+        main()
+    else:
+        sys.exit(_supervise())
