@@ -113,3 +113,55 @@ def roformer_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, An
 def shard_roformer_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     shardings = roformer_param_shardings(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# HTDemucs/HDemucs parameter sharding policy
+
+
+def htdemucs_param_shardings(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """PartitionSpec tree for the HTDemucs params pytree
+    (models/htdemucs.py, torch-layout leaves: Linear weight is (out, in)).
+
+    The cross-transformer feed-forwards shard Megatron-style on the "model"
+    axis: ``linear1`` column-parallel (out dim), ``linear2`` row-parallel
+    (in dim) with XLA SPMD inserting the one all-reduce per block. Attention
+    stays replicated on purpose: torch's packed ``in_proj_weight`` is
+    ``[q; k; v]`` stacked on the out dim, so any sharding of that axis cuts
+    across the q/k/v slice boundaries taken inside ``_mha`` and XLA has to
+    reshard (gather) each projection per layer — more collective bytes than
+    the ~0.8 M-param matmuls it would parallelise are worth. The U-Net
+    conv encoders/decoders also replicate (conv channel TP pays one
+    halo/all-reduce per layer for tiny per-layer FLOPs; the batch "data"
+    axis already covers them).
+    """
+
+    def spec_for(path: tuple, leaf) -> NamedSharding:
+        rank = np.ndim(leaf)
+        if "crosstransformer" in path and len(path) >= 2:
+            parent, key = path[-2], path[-1]
+            if parent == "linear1":
+                # Column-parallel: weight (hidden, E) on axis 0, bias (hidden,)
+                if key == "weight" and rank == 2:
+                    return NamedSharding(mesh, P("model", None))
+                if key == "bias" and rank == 1:
+                    return NamedSharding(mesh, P("model"))
+            if parent == "linear2" and key == "weight" and rank == 2:
+                # Row-parallel: weight (E, hidden) on axis 1; bias replicated
+                # (added once after the partial-sum all-reduce).
+                return NamedSharding(mesh, P(None, "model"))
+        return NamedSharding(mesh, P())
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(walk(v, path) for v in tree)
+        return spec_for(path, tree)
+
+    return walk(params)
+
+
+def shard_htdemucs_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    shardings = htdemucs_param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)

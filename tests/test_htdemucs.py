@@ -64,6 +64,42 @@ def test_htdemucs_forward_parity(oracle_pair):
     np.testing.assert_allclose(got, ref, atol=5e-4 * max(scale, 1e-3), rtol=0)
 
 
+def test_htdemucs_tp_sharded_matches_replicated(oracle_pair):
+    """Cross-transformer FF tensor parallelism (dp=2 x tp=2 mesh) must be a
+    pure layout change: sharded forward == replicated forward bit-for-policy
+    (same program, XLA inserts the all-reduces)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audio_separator_tpu.parallel.mesh import (
+        htdemucs_param_shardings, make_mesh, shard_htdemucs_params)
+
+    oracle, cfg, params = oracle_pair
+    mesh = make_mesh(n_devices=4, dp=2, tp=2)
+    host_params = jax.tree.map(np.asarray, params)
+
+    # The policy must shard the FF weights and nothing in attention.
+    specs = htdemucs_param_shardings(host_params, mesh)
+    ct = specs["crosstransformer"]["layers"]["0"]
+    assert ct["linear1"]["weight"].spec == P("model", None)
+    assert ct["linear2"]["weight"].spec == P(None, "model")
+    assert ct["self_attn"]["in_proj_weight"].spec == P()
+
+    sharded = shard_htdemucs_params(host_params, mesh)
+    mix = (np.random.default_rng(7).standard_normal(
+        (2, 2, cfg.training_length)) * 0.2).astype(np.float32)
+    ref = np.asarray(apply_htdemucs(params, cfg, jnp.asarray(mix)))
+
+    data = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def step(p, x):
+        x = jax.lax.with_sharding_constraint(x, data)
+        return apply_htdemucs(p, cfg, x)
+
+    got = np.asarray(step(sharded, jax.device_put(mix, data)))
+    np.testing.assert_allclose(got, ref, atol=2e-5 * max(np.abs(ref).max(), 1e-3))
+
+
 def test_demucs_separator_end_to_end(oracle_pair, fixtures_dir, tmp_path):
     """Full Demucs flow: save a .th package + yaml bag, separate a fixture."""
     import logging
