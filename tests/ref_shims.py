@@ -137,12 +137,43 @@ def _install_librosa():
     mod.filters = filters
 
 
+def _install_ref_spec_utils():
+    """vr_network/layers{,_new}.py do an *absolute* import
+    ``from audio_separator.separator.uvr_lib_v5 import spec_utils`` and use
+    exactly one symbol from it, ``crop_center`` (center-crop the skip
+    connection's time dim). Reimplemented here — importing the real
+    spec_utils would drag in librosa/soundfile internals the shims don't
+    carry."""
+    if "audio_separator.separator.uvr_lib_v5.spec_utils" in sys.modules:
+        return
+    for name in ("audio_separator", "audio_separator.separator",
+                 "audio_separator.separator.uvr_lib_v5"):
+        if name not in sys.modules:
+            pkg = _module(name)
+            pkg.__path__ = []
+
+    su = _module("audio_separator.separator.uvr_lib_v5.spec_utils")
+
+    def crop_center(h1, h2):
+        t1, t2 = h1.size()[3], h2.size()[3]
+        if t1 == t2:
+            return h1
+        if t1 < t2:
+            raise ValueError("h1_shape[3] must be greater than h2_shape[3]")
+        s = (t1 - t2) // 2
+        return h1[:, :, :, s : s + t2]
+
+    su.crop_center = crop_center
+    sys.modules["audio_separator.separator.uvr_lib_v5"].spec_utils = su
+
+
 def install_shims():
     _install_julius()
     _install_diffq()
     _install_beartype()
     _install_rotary()
     _install_librosa()
+    _install_ref_spec_utils()
 
 
 def load_ref_module(name: str):

@@ -191,3 +191,114 @@ def test_hdemucs_matches_reference_forward():
     np.testing.assert_allclose(got, want, atol=8e-3 * max(scale, 1e-3), rtol=0)
     corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert corr > 0.99999, corr
+
+
+# ---------------------------------------------------------------------------
+# TFC-TDF v3 vs ref tfc_tdf_v3.py
+# ---------------------------------------------------------------------------
+
+def test_tfc_tdf_matches_reference_forward():
+    """Wave-level forward (internal STFT → U-Net → iSTFT) vs the reference's
+    TFC_TDF_net (ref: tfc_tdf_v3.py:151-268) with identical weights."""
+    import ml_collections
+
+    from audio_separator_tpu.models.convert import tree_from_state_dict
+    from audio_separator_tpu.models.tfc_tdf import TFCTDFConfig, apply_tfc_tdf
+
+    mod = load_ref_module("tfc_tdf_v3")
+    config = ml_collections.ConfigDict({
+        "audio": {"num_channels": 2, "sample_rate": 44100, "n_fft": 256,
+                  "hop_length": 64, "dim_f": 64, "dim_t": 64},
+        "model": {"num_subbands": 2, "num_scales": 2, "scale": [2, 2],
+                  "num_blocks_per_scale": 1, "num_channels": 8, "growth": 8,
+                  "bottleneck_factor": 2, "norm": "InstanceNorm", "act": "gelu"},
+        "training": {"instruments": ["vocals", "other"],
+                     "target_instrument": None},
+    })
+    ref = mod.TFC_TDF_net(config, device="cpu").eval()
+    _randomize(ref, seed=4, scale=0.1)
+
+    cfg = TFCTDFConfig(
+        num_subbands=2, num_scales=2, scale=(2, 2), num_blocks_per_scale=1,
+        num_channels=8, growth=8, bottleneck_factor=2, norm="InstanceNorm",
+        act="gelu", dim_f=64, n_fft=256, hop_length=64, num_stems=2,
+    )
+    params = jax.device_put(tree_from_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}))
+
+    # hop * (dim_t - 1) samples → exactly dim_t=64 STFT frames (the chunk
+    # geometry mdxc feeds the model; frame count must divide by the scales).
+    wave = (np.random.default_rng(4).standard_normal((1, 2, 64 * 63)) * 0.2
+            ).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(wave)).numpy()
+    got = np.asarray(apply_tfc_tdf(params, cfg, jnp.asarray(wave)))
+    got = got[..., : want.shape[-1]]
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=5e-4 * max(scale, 1e-3), rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# VR nets vs ref vr_network/{nets,nets_new}.py
+# ---------------------------------------------------------------------------
+
+def _randomize_with_buffers(model, seed=0, scale=0.1):
+    """VR nets carry BatchNorm running stats — randomise those too so the
+    parity check exercises the eval-mode normalisation math."""
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn_like(p) * scale)
+        for name, b in model.named_buffers():
+            if name.endswith("running_var"):
+                b.copy_(torch.rand_like(b) + 0.5)
+            elif name.endswith("running_mean"):
+                b.copy_(torch.randn_like(b) * 0.1)
+    return model
+
+
+@pytest.mark.parametrize("arch", [31191, 33966])
+def test_vr_cascaded_aspp_matches_reference(arch):
+    """CascadedASPPNet v5 (incl. the 7-layer 33966 variant with shared
+    conv6/conv7) vs ref nets.determine_model_capacity (ref: nets.py:67-178)."""
+    from audio_separator_tpu.models.vr_nets import (
+        predict_mask_v5, state_dict_to_tree)
+
+    mod = load_ref_module("vr_network.nets")
+    n_fft_bins = 256
+    ref = _randomize_with_buffers(
+        mod.determine_model_capacity(n_fft_bins, arch), seed=arch % 97).eval()
+    params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in ref.state_dict().items()}))
+
+    x = np.abs(np.random.default_rng(5).standard_normal(
+        (1, 2, 129, 384))).astype(np.float32)
+    with torch.no_grad():
+        want = ref.predict_mask(torch.from_numpy(x)).numpy()
+    got = np.asarray(predict_mask_v5(params, x, n_fft_bins, arch, offset=128))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_vr_cascaded_net_v51_matches_reference():
+    """CascadedNet (VR 5.1, LSTM bottleneck) vs ref nets_new.CascadedNet
+    (ref: nets_new.py:65-150)."""
+    from audio_separator_tpu.models.vr_nets import (
+        predict_mask_v51, state_dict_to_tree)
+
+    mod = load_ref_module("vr_network.nets_new")
+    n_fft_bins = 256
+    ref = _randomize_with_buffers(
+        mod.CascadedNet(n_fft_bins, nn_arch_size=123821, nout=8, nout_lstm=16),
+        seed=6).eval()
+    params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in ref.state_dict().items()}))
+
+    x = np.abs(np.random.default_rng(6).standard_normal(
+        (1, 2, 129, 256))).astype(np.float32)
+    with torch.no_grad():
+        want = ref.predict_mask(torch.from_numpy(x)).numpy()
+    got = np.asarray(predict_mask_v51(params, x, n_fft_bins, offset=64))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4)
