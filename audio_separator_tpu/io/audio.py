@@ -32,9 +32,17 @@ _lib_load_error: Optional[str] = None
 
 def _build_native() -> Optional[str]:
     """Attempt to build the codec library from source (first import on a new
-    machine). Returns the library path or None."""
-    src = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native", "codec.cpp")
+    machine). Returns the library path or None.
+
+    The source ships INSIDE the package (io/codec.cpp, kept in sync with the
+    canonical native/codec.cpp by native/build.sh + a drift test) so a pip
+    install or a source-mounted deployment (Modal) can self-build; the repo
+    layout's native/codec.cpp is the fallback for working-tree use."""
     out = os.path.join(_HERE, _LIB_NAME)
+    src = os.path.join(_HERE, "codec.cpp")
+    if not os.path.exists(src):
+        src = os.path.join(os.path.dirname(os.path.dirname(_HERE)),
+                           "native", "codec.cpp")
     if not os.path.exists(src):
         return None
     cmd = [

@@ -325,7 +325,8 @@ def _transformer(stack: Dict[str, jnp.ndarray], x: jnp.ndarray, heads: int,
             # half's matmul work; time axis 801→832 instead of 896 saves 7%).
             # opts.seq_pad overrides the granularity for A/B (rounded up
             # to a 64-multiple: the fused kernels assert n_pad % 64 == 0).
-            gran = -(-opts.seq_pad // 64) * 64
+            # 0 keeps the old AUDSEP_SEQ_PAD=0 "use the default" contract.
+            gran = max(64, -(-opts.seq_pad // 64) * 64)
             pad = (-n) % gran
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
@@ -449,7 +450,8 @@ def apply_roformer(
         lp = (n_fft - cfg.stft_win_length) // 2
         win = jnp.pad(win, (lp, n_fft - cfg.stft_win_length - lp))
 
-    spec = stft(audio.reshape(b * s, t), n_fft, hop, win)  # (b*s, F, Tf) c64
+    spec = stft(audio.reshape(b * s, t), n_fft, hop, win,
+                impl=opts.stft)  # (b*s, F, Tf) c64
     n_bins, tf = spec.shape[-2], spec.shape[-1]
     spec = spec.reshape(b, s, n_bins, tf)
     rows = spec.transpose(0, 2, 1, 3).reshape(b, n_bins * s, tf)  # (f s) rows
@@ -518,5 +520,5 @@ def apply_roformer(
     spec_out = spec_out.reshape(b, ns, n_bins, s, tf).transpose(0, 1, 3, 2, 4)
     out_len = t if cfg.match_input_audio_length else None
     audio_out = istft(spec_out.reshape(b * ns * s, n_bins, tf), n_fft, hop, win,
-                      length=out_len)
+                      length=out_len, impl=opts.stft)
     return audio_out.reshape(b, ns, s, -1)

@@ -121,31 +121,38 @@ def _idft_matrices(n_fft: int):
             jnp.asarray(-c * np.sin(ang) / n_fft, jnp.float32))
 
 
-def _stft_impl() -> str:
+def _stft_impl(impl: str | None = None) -> str:
+    """Resolve the rfft backend: per-call override wins, else the import-time
+    default (callers under jit must thread ``ExecutionOptions.stft`` through —
+    reading env here would bake the first value into every trace)."""
+    if impl:
+        return impl
     from .exec_options import DEFAULT_EXEC
 
     return DEFAULT_EXEC.stft
 
 
-def _rfft_frames(frames: jnp.ndarray) -> jnp.ndarray:
+def _rfft_frames(frames: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:
     """rfft over the last axis, impl-switchable ((..., T, n_fft) → complex)."""
-    if _stft_impl() == "matmul":
+    if _stft_impl(impl) == "matmul":
         cos_m, sin_m = _dft_matrices(frames.shape[-1])
         f32 = frames.astype(jnp.float32)
         return jax.lax.complex(f32 @ cos_m, -(f32 @ sin_m))
     return jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
 
 
-def _irfft_frames(spec: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+def _irfft_frames(spec: jnp.ndarray, n_fft: int,
+                  impl: str | None = None) -> jnp.ndarray:
     """irfft over the last axis ((..., T, n_bins) → (..., T, n_fft))."""
-    if _stft_impl() == "matmul":
+    if _stft_impl(impl) == "matmul":
         cos_m, sin_m = _idft_matrices(n_fft)
         return (spec.real.astype(jnp.float32) @ cos_m
                 + spec.imag.astype(jnp.float32) @ sin_m)
     return jnp.fft.irfft(spec, n=n_fft, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "pad_mode", "center"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop", "pad_mode", "center", "impl"))
 def stft(
     x: jnp.ndarray,
     n_fft: int,
@@ -153,6 +160,7 @@ def stft(
     window: jnp.ndarray,
     center: bool = True,
     pad_mode: str = "reflect",
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """torch.stft-compatible STFT.
 
@@ -166,11 +174,12 @@ def stft(
         p = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(p, p)], mode=pad_mode)
     frames = frame_signal(x, n_fft, hop) * window
-    spec = _rfft_frames(frames)
+    spec = _rfft_frames(frames, impl)
     return jnp.swapaxes(spec, -1, -2)
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "center", "length"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop", "center", "length", "impl"))
 def istft(
     spec: jnp.ndarray,
     n_fft: int,
@@ -178,6 +187,7 @@ def istft(
     window: jnp.ndarray,
     center: bool = True,
     length: Optional[int] = None,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """torch.istft-compatible least-squares inverse STFT.
 
@@ -187,7 +197,7 @@ def istft(
       ``(..., L)`` real signal with ``L = hop * (T - 1)`` for ``center=True``
       (or ``length`` if given).
     """
-    frames = _irfft_frames(jnp.swapaxes(spec, -1, -2), n_fft)
+    frames = _irfft_frames(jnp.swapaxes(spec, -1, -2), n_fft, impl)
     num_frames = frames.shape[-2]
     y = overlap_add(frames * window, hop)
     # Least-squares normalisation by the summed squared-window envelope.

@@ -19,14 +19,13 @@ Endpoints (reference-parity):
 
 from __future__ import annotations
 
-import hmac
+import asyncio
 import json
 import logging
-import os
 from typing import Optional
 from urllib.parse import quote, unquote
 
-from .server import SeparatorService, _fetch_gcs, _parse_multipart
+from .server import SeparatorService, _fetch_gcs, _parse_multipart, check_api_key
 
 logger = logging.getLogger(__name__)
 
@@ -100,24 +99,17 @@ class AsgiApp:
         elif path == "/health":
             await _json(send, {"status": "healthy", "version": __version__})
         elif path == "/models-json":
-            from ..separator import Separator
-
-            separator = Separator(info_only=True,
-                                  model_file_dir=self.service.model_file_dir)
-            await _json(send, separator.list_supported_model_files())
+            await _json(send, await asyncio.to_thread(self._list_models, True))
         elif path == "/models":
-            from ..separator import Separator
-
-            separator = Separator(info_only=True,
-                                  model_file_dir=self.service.model_file_dir)
-            await _json(send, separator.get_simplified_model_list())
+            await _json(send, await asyncio.to_thread(self._list_models, False))
         elif path == "/presets":
             await _json(send, _load_presets())
         elif path.startswith("/status/"):
             if not _authorized(headers):
                 await _json(send, {"detail": "invalid or missing API key"}, 401)
                 return
-            data = self.service.get_status(path[len("/status/"):])
+            data = await asyncio.to_thread(
+                self.service.get_status, path[len("/status/"):])
             if data is None:
                 await _json(send, {"detail": "Job not found"}, 404)
             else:
@@ -131,7 +123,8 @@ class AsgiApp:
                 await _json(send, {"detail": "File not found"}, 404)
                 return
             try:
-                data, name = self.service.get_file_by_hash(parts[0], parts[1])
+                data, name = await asyncio.to_thread(
+                    self.service.get_file_by_hash, parts[0], parts[1])
             except FileNotFoundError:
                 await _json(send, {"detail": "File not found"}, 404)
                 return
@@ -144,6 +137,18 @@ class AsgiApp:
             ])
         else:
             await _json(send, {"detail": "Not found"}, 404)
+
+    def _list_models(self, as_json: bool):
+        """Blocking model-registry read — always called via
+        ``asyncio.to_thread`` so a slow registry/network merge can't stall
+        the event loop (and /health) for every other client."""
+        from ..separator import Separator
+
+        separator = Separator(info_only=True,
+                              model_file_dir=self.service.model_file_dir)
+        if as_json:
+            return separator.list_supported_model_files()
+        return separator.get_simplified_model_list()
 
     # ----------------------------------------------------------------- POST
 
@@ -165,7 +170,11 @@ class AsgiApp:
             await _json(send, {"detail": "multipart/form-data required"}, 400)
             return
         try:
-            fields, files = _parse_multipart(content_type, body)
+            # Multipart parse and job submission both touch disk (and the GCS
+            # fetch is a full object download) — keep them off the event loop
+            # so concurrent /health probes stay responsive mid-upload.
+            fields, files = await asyncio.to_thread(
+                _parse_multipart, content_type, body)
         except Exception as exc:
             await _json(send, {"detail": f"invalid multipart body: {exc}"}, 400)
             return
@@ -174,7 +183,8 @@ class AsgiApp:
             gcs_uri = fields.get("gcs_uri")
             if gcs_uri:
                 try:
-                    filename, file_bytes = _fetch_gcs(gcs_uri)
+                    filename, file_bytes = await asyncio.to_thread(
+                        _fetch_gcs, gcs_uri)
                 except PermissionError as exc:
                     await _json(send, {"detail": str(exc)}, 403)
                     return
@@ -183,25 +193,22 @@ class AsgiApp:
                                 {"detail": f"could not fetch {gcs_uri}: {exc}"},
                                 400)
                     return
-                task_id = self.service.submit(filename, file_bytes, fields)
+                task_id = await asyncio.to_thread(
+                    self.service.submit, filename, file_bytes, fields)
                 await _json(send, {"task_id": task_id, "status": "queued"})
                 return
             await _json(send, {"detail": "No audio file provided"}, 400)
             return
         filename, file_bytes = upload
-        task_id = self.service.submit(filename, file_bytes, fields)
+        task_id = await asyncio.to_thread(
+            self.service.submit, filename, file_bytes, fields)
         await _json(send, {"task_id": task_id, "status": "queued"})
 
 
 def _authorized(headers: dict) -> bool:
-    key = os.environ.get("AUDSEP_API_KEY")
-    if not key:
-        return True
-    supplied = headers.get("x-api-key", "")
-    auth = headers.get("authorization", "")
-    if auth.startswith("Bearer "):
-        supplied = supplied or auth[len("Bearer "):]
-    return hmac.compare_digest(supplied, key)
+    # One auth implementation for both HTTP frontends (server.check_api_key);
+    # the ASGI layer lowercased the header names when building the dict.
+    return check_api_key(lambda name: headers.get(name.lower()))
 
 
 async def _respond(send, body: bytes, status: int, headers):

@@ -35,12 +35,18 @@ MODELS_VOLUME = "audio-separator-models"
 
 app = modal.App(APP_NAME)
 
-# Slim image: the package + its baked-in scientific stack. (No CUDA base —
-# this framework targets TPU runtimes; swap gpu= for the accelerator your
-# Modal plan provides.)
+# Image: the package's full declared dependency set (pyproject.toml
+# [project.dependencies] — add_local_python_source only mounts code, it does
+# NOT install deps), plus the libav toolchain so the first-party codec
+# (shipped as audio_separator_tpu/io/codec.cpp) can be built on first import
+# by io/audio._build_native(). (No CUDA base — this framework targets TPU
+# runtimes; swap gpu= for the accelerator your Modal plan provides.)
 image = (
     modal.Image.debian_slim(python_version="3.12")
-    .pip_install("jax[tpu]", "numpy", "pyyaml")
+    .apt_install("g++", "pkg-config", "libavcodec-dev", "libavformat-dev",
+                 "libavutil-dev", "libswresample-dev")
+    .pip_install("jax[tpu]", "numpy", "scipy", "einops", "pyyaml",
+                 "requests", "tqdm", "uvicorn")
     .add_local_python_source("audio_separator_tpu")
 )
 
@@ -59,16 +65,21 @@ def api():
     return create_app(work_dir="/storage", model_file_dir="/models")
 
 
-@app.function(image=image, timeout=300,
+@app.function(image=image, timeout=1200,
               volumes={"/storage": volume, "/models": models_volume})
 def separate_audio_function(filename: str, file_bytes: bytes,
                             fields: dict | None = None) -> dict:
-    """Direct function-call submission (ref separate_audio_function:153-379):
-    returns {task_id, status}; poll with get_job_status_function."""
+    """Direct function-call separation (ref separate_audio_function:153-379):
+    runs the job to completion INSIDE the invocation — Modal may reclaim the
+    container the moment this returns, so returning "queued" while a worker
+    thread kept separating would lose the job and never commit its outputs.
+    Returns the terminal status dict ({task_id, status, files, ...})."""
     service = _shared_service()
     task_id = service.submit(filename, file_bytes, fields or {})
+    status = service.wait(task_id, timeout=1140)
     volume.commit()
-    return {"task_id": task_id, "status": "queued"}
+    return status if status is not None else {"task_id": task_id,
+                                              "status": "not_found"}
 
 
 @app.function(image=image, timeout=300, volumes={"/storage": volume})

@@ -39,6 +39,25 @@ from .output_store import LocalOutputStore
 logger = logging.getLogger(__name__)
 
 
+def check_api_key(get_header) -> bool:
+    """Shared-key gate (AUDSEP_API_KEY) used by BOTH HTTP frontends (this
+    stdlib server and remote/asgi.py) so the auth rules can never drift
+    apart. ``get_header(name)`` must resolve a header case-insensitively
+    (http.server's message object does; the ASGI adapter lowercases).
+    Accepts ``X-API-Key: <key>`` or ``Authorization: Bearer <key>``; no key
+    configured ⇒ open."""
+    key = os.environ.get("AUDSEP_API_KEY")
+    if not key:
+        return True
+    supplied = get_header("X-API-Key") or ""
+    auth = get_header("Authorization") or ""
+    if auth.startswith("Bearer "):
+        supplied = supplied or auth[len("Bearer "):]
+    import hmac
+
+    return hmac.compare_digest(supplied, key)
+
+
 def generate_file_hash(filename: str) -> str:
     """(ref: deploy_modal.py:49-53)."""
     return hashlib.sha256(filename.encode("utf-8")).hexdigest()[:16]
@@ -253,6 +272,26 @@ class SeparatorService:
                 return self.outputs.download_file(task_id, name), name
         raise FileNotFoundError(file_hash)
 
+    def wait(self, task_id: str, timeout: Optional[float] = None,
+             poll_interval: float = 1.0) -> Optional[dict]:
+        """Block until ``task_id`` reaches a terminal status and return it.
+
+        For callers whose execution model requires the work to finish inside
+        the call (e.g. a Modal function invocation — the container may be
+        reclaimed the moment the call returns, killing the queue worker
+        mid-job). Returns the last observed status on timeout."""
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        while True:
+            status = self.get_status(task_id)
+            if status is not None and status.get("status") in (
+                    "completed", "error", "not_found"):
+                return status
+            if deadline is not None and _time.monotonic() >= deadline:
+                return status
+            _time.sleep(poll_interval)
+
 
 def make_handler(service: SeparatorService):
     from .. import __version__
@@ -280,16 +319,7 @@ def make_handler(service: SeparatorService):
             """Optional shared-key gate (AUDSEP_API_KEY). When set, job
             submission/status/download require ``X-API-Key: <key>`` or
             ``Authorization: Bearer <key>``; listing/health stay open."""
-            key = os.environ.get("AUDSEP_API_KEY")
-            if not key:
-                return True
-            supplied = self.headers.get("X-API-Key", "")
-            auth = self.headers.get("Authorization", "")
-            if auth.startswith("Bearer "):
-                supplied = supplied or auth[len("Bearer "):]
-            import hmac
-
-            return hmac.compare_digest(supplied, key)
+            return check_api_key(self.headers.get)
 
         # ------------------------------------------------------------- routes
 

@@ -54,8 +54,9 @@ def _supervise():
 
     last_json = None
     attempt = 0
-    # Leave 10 s of slack for teardown/printing below the driver's own limit.
-    while remaining() > 90:
+    # Always make at least one attempt (tiny budgets still deserve a try —
+    # a warm-cache stage 1 is ~70 s); retries need a meaningful window.
+    while attempt == 0 or remaining() > 90:
         attempt += 1
         env = dict(os.environ, AUDSEP_BENCH_WORKER="1")
         # The worker's internal watchdog is a backstop only; the supervisor
@@ -111,9 +112,14 @@ def _supervise():
                 child.kill()
             reader.join(timeout=5)
             return 0
-        # Stalled before any result: clear the wedged claim and retry.
+        # The child may have exited fast *with* a result the reader thread
+        # hasn't parsed yet (poll() won the race) — drain before judging.
         child.kill()
         reader.join(timeout=5)
+        if got_stage1.is_set():
+            return 0
+        # Genuinely stalled before any result: the kill cleared the wedged
+        # claim; retry with what's left.
         print(f"[bench-supervisor] attempt {attempt} stalled after "
               f"{time.time() - t_attempt:.0f}s; "
               f"{remaining():.0f}s budget left", file=sys.stderr, flush=True)

@@ -65,6 +65,56 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Fast tier. The full suite is ~23 min on this host (XLA:CPU compiles
+# dominate); `pytest -m "not slow"` runs the sub-10s tests (~4 min) for a
+# tight edit loop. The slow set is the measured >=10s offenders
+# (pytest --durations=50); parametrised names are matched on the bare name.
+
+_SLOW_TESTS = {
+    "test_vr_separator_end_to_end",
+    "test_hdemucs_forward_parity",
+    "test_demix_sharded_with_tp_params",
+    "test_htdemucs_tp_sharded_matches_replicated",
+    "test_vr_cascaded_net_v51_matches_reference",
+    "test_vr_post_process_and_high_end",
+    "test_vr_cascaded_aspp_matches_reference",
+    "test_demucs_shift_trick",
+    "test_cascaded_aspp_net_v5_parity",
+    "test_cascaded_aspp_net_v5_seven_layer",
+    "test_roformer_matches_reference_forward",
+    "test_htdemucs_forward_parity",
+    "test_ensemble_two_local_models_end_to_end",
+    "test_mdxc_separator_end_to_end",
+    "test_chunked_processing_end_to_end",
+    "test_mdxc_pitch_shift_path",
+    "test_single_stem_and_custom_names_end_to_end",
+    "test_cli_end_to_end_with_real_model",
+    "test_demucs_separator_end_to_end",
+    "test_tfc_tdf_body_parity",
+    "test_hdemucs_magnitude_head_parity",
+    "test_demucs_six_stem_end_to_end",
+    "test_tfc_tdf_matches_reference_forward",
+    "test_hdemucs_matches_reference_forward",
+    "test_demucs_split_matches_direct_apply",
+    "test_mdx_end_to_end",
+    "test_vr_tta_mode",
+    "test_bf16_norm_switch_close_to_fp32",
+    "test_remote_real_separation_end_to_end",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >=10s wall on the CPU mesh (XLA compile heavy); "
+        "excluded by the fast tier `pytest -m \"not slow\"`")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def fixtures_dir():

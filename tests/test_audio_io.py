@@ -137,3 +137,20 @@ def test_mono_file_prepare_mix_stereoifies(tmp_path):
     out = inst.prepare_mix(path)
     assert out.shape == (2, 44100)
     np.testing.assert_allclose(out[0], out[1])
+
+
+def test_packaged_codec_source_in_sync_with_native():
+    """audio_separator_tpu/io/codec.cpp (the copy pip/Modal deployments
+    self-build from, see io/audio._build_native) must match the canonical
+    native/codec.cpp — native/build.sh refreshes it; this pins the drift."""
+    import audio_separator_tpu.io as io_pkg
+
+    io_dir = os.path.dirname(os.path.abspath(io_pkg.__file__))
+    packaged = os.path.join(io_dir, "codec.cpp")
+    canonical = os.path.join(os.path.dirname(os.path.dirname(io_dir)),
+                             "native", "codec.cpp")
+    if not os.path.exists(canonical):
+        pytest.skip("installed layout: no native/ tree to compare against")
+    with open(packaged, "rb") as f1, open(canonical, "rb") as f2:
+        assert f1.read() == f2.read(), (
+            "io/codec.cpp drifted from native/codec.cpp — run native/build.sh")

@@ -203,6 +203,9 @@ def _install_fake_modal(monkeypatch):
         def pip_install(self, *a, **k):
             return self
 
+        def apt_install(self, *a, **k):
+            return self
+
         def add_local_python_source(self, *a, **k):
             return self
 
@@ -259,6 +262,50 @@ def test_deploy_modal_entry_point(monkeypatch, tmp_path):
     assert "MDXC" in listing
 
     sys.modules.pop("audio_separator_tpu.remote.deploy_modal", None)
+
+
+def test_deploy_modal_separation_runs_to_completion(monkeypatch):
+    """separate_audio_function must finish the job INSIDE the invocation
+    (Modal can reclaim the container once the call returns) and commit the
+    volume only after the terminal status exists."""
+    fake = _install_fake_modal(monkeypatch)
+    sys.modules.pop("audio_separator_tpu.remote.deploy_modal", None)
+    mod = importlib.import_module("audio_separator_tpu.remote.deploy_modal")
+
+    events = []
+
+    class StubService:
+        def submit(self, filename, file_bytes, fields):
+            events.append("submit")
+            return "t1"
+
+        def wait(self, task_id, timeout=None, poll_interval=1.0):
+            events.append("wait")
+            return {"task_id": task_id, "status": "completed",
+                    "files": ["x_(Vocals).wav"]}
+
+    monkeypatch.setattr(mod, "_shared_service", lambda: StubService())
+    commits_before = fake.Volume.commits
+    out = mod.app.functions["separate_audio_function"]("a.wav", b"bytes", {})
+    assert out["status"] == "completed"
+    assert events == ["submit", "wait"]  # wait happens before return
+    assert fake.Volume.commits == commits_before + 1
+    sys.modules.pop("audio_separator_tpu.remote.deploy_modal", None)
+
+
+def test_separator_service_wait_reaches_terminal_status():
+    from audio_separator_tpu.remote.server import SeparatorService
+
+    svc = SeparatorService.__new__(SeparatorService)  # no worker thread
+    states = iter([{"status": "queued"}, {"status": "processing"},
+                   {"status": "completed", "files": []}])
+    svc.get_status = lambda task_id: next(states)
+    out = svc.wait("t", poll_interval=0.0)
+    assert out["status"] == "completed"
+
+    svc.get_status = lambda task_id: {"status": "processing"}
+    out = svc.wait("t", timeout=0.05, poll_interval=0.01)
+    assert out["status"] == "processing"  # timeout returns last observation
 
 
 # ---------------------------------------------------------------------------

@@ -155,3 +155,34 @@ def test_einsum_qkv_switch_matches_default():
     alt = np.asarray(apply_roformer(params, cfg, audio,
                                     opts=ExecutionOptions(qkv="einsum")))
     np.testing.assert_allclose(alt, base, atol=1e-5)
+
+
+def test_per_call_stft_impl_and_seq_pad_zero():
+    """ExecutionOptions(stft=..., seq_pad=0) per call: the matmul-DFT backend
+    must actually be selected (not silently the import-time default) and the
+    old AUDSEP_SEQ_PAD=0 'use the default granularity' contract must not
+    divide by zero."""
+    import jax.numpy as jnp
+    from audio_separator_tpu.models.init_params import init_roformer_params
+    from audio_separator_tpu.models.roformer import RoformerConfig, apply_roformer
+    from audio_separator_tpu.ops.exec_options import ExecutionOptions
+
+    cfg = RoformerConfig(kind="bs", dim=32, depth=1, stereo=True, num_stems=2,
+                         time_transformer_depth=1, freq_transformer_depth=1,
+                         freqs_per_bands=(64, 65), dim_head=8, heads=2,
+                         stft_n_fft=256, stft_hop_length=64,
+                         stft_win_length=256, mask_estimator_depth=1)
+    params = init_roformer_params(cfg, seed=3)
+    rng = np.random.default_rng(4)
+    audio = jnp.asarray(rng.standard_normal((1, 2, 2048)).astype(np.float32))
+    base = np.asarray(apply_roformer(params, cfg, audio,
+                                     opts=ExecutionOptions(stft="fft")))
+    alt = np.asarray(apply_roformer(
+        params, cfg, audio, opts=ExecutionOptions(stft="matmul", seq_pad=0)))
+    scale = np.abs(base).max()
+    # Different rfft backends: tiny numerical differences expected, identical
+    # otherwise. (Identical-to-the-bit would mean the option was ignored on
+    # backends where fft and the DFT matmul round differently — don't assert
+    # that; shape+closeness is the observable contract.)
+    assert alt.shape == base.shape
+    np.testing.assert_allclose(alt, base, atol=5e-4 * max(scale, 1e-3))
