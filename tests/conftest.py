@@ -118,8 +118,14 @@ def pytest_collection_modifyitems(config, items):
 
 @pytest.fixture(scope="session")
 def fixtures_dir():
-    """Reference 20s FLAC fixtures (read-only)."""
-    return "/root/reference/tests/inputs"
+    """20 s FLAC audio fixtures (read-only). Defaults to the reference
+    checkout's tests/inputs; point AUDSEP_FIXTURES_DIR at any directory with
+    mardy20s.flac-style files elsewhere (CI). Tests needing real audio skip
+    when neither exists."""
+    path = os.environ.get("AUDSEP_FIXTURES_DIR", "/root/reference/tests/inputs")
+    if not os.path.isdir(path):
+        pytest.skip("audio fixtures unavailable (set AUDSEP_FIXTURES_DIR)")
+    return path
 
 
 @pytest.fixture(scope="module", autouse=True)
