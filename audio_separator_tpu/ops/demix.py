@@ -299,9 +299,13 @@ def overlap_add_demix(
         mesh=mesh,
         data_axis=data_axis,
     )
+    # Crop ON DEVICE before fetching: t_buf is bucket-padded (up to ~1/3
+    # beyond the track), and D2H bytes are the scarce resource on tethered
+    # links — the slice is one cheap device op, the padding never crosses.
+    acc = acc[..., :total]
     if quantized_transfer:
-        return np.asarray(acc)[..., :total].astype(np.float32) / float(scale)
-    return np.array(np.asarray(acc)[..., :total])
+        return np.asarray(acc).astype(np.float32) / float(scale)
+    return np.array(np.asarray(acc))
 
 
 @functools.partial(
@@ -385,7 +389,10 @@ def tiled_mask_predict(
         _tile_batch(model_fn, model_params, spec_dev,
                     jnp.asarray(tile_idx[i : i + batch_size]),
                     window, roi, mesh=mesh, data_axis=data_axis)
-        for i in range(0, n_pad, batch_size)
+        # Batches made entirely of bucket-padding dummy tiles (i >= n) are
+        # cropped away below — skip their dispatch and D2H outright; the
+        # program shape (and so the compile cache) is per-batch and unchanged.
+        for i in range(0, n_pad, batch_size) if i < n
     ]  # async: all batches in flight before the first fetch blocks
     mask = np.concatenate(
         [np.asarray(h).transpose(1, 2, 0, 3).reshape(out_c, out_f, -1)
@@ -449,6 +456,7 @@ def _pipelined_demix(
     handles = []
     for g in groups:
         lo = int(pos_sorted[g[0]])
+        span = int(pos_sorted[g[-1]]) + chunk - lo  # true extent (<= seg_buf)
         seg_pos = np.zeros(seg_n, dtype=np.int32)
         seg_pos[: len(g)] = pos_sorted[g] - lo
         row_scale = np.zeros(seg_n, dtype=np.float32)
@@ -477,14 +485,16 @@ def _pipelined_demix(
             mesh=mesh,
             data_axis=data_axis,
         )
-        handles.append((lo, acc, scale))
+        # Crop the bucket padding on device (one cheap async op) so only the
+        # segment's true span crosses D2H — the padded tail is zeros.
+        handles.append((lo, span, acc[..., :span], scale))
 
     full = np.zeros((num_stems, c, pad_to), dtype=np.float32)
-    for lo, acc, scale in handles:
+    for lo, span, acc, scale in handles:
         a = np.asarray(acc).astype(np.float32)
         if quantized_transfer:
             a /= float(scale)
-        full[:, :, lo : lo + seg_buf] += a
+        full[:, :, lo : lo + span] += a
 
     if divider is not None:
         div = np.asarray(divider, dtype=np.float32)
