@@ -144,3 +144,12 @@ def _collect_between_modules():
     import gc
 
     gc.collect()
+    if os.environ.get("AUDSEP_CLEAR_CACHES_REPRO"):
+        # Re-enable the bisected trigger ON PURPOSE, for upstream reporting:
+        #   AUDSEP_NO_MALLOC_DEBUG=1 AUDSEP_CLEAR_CACHES_REPRO=1 \
+        #   python -m pytest tests/test_htdemucs.py::test_demucs_separator_end_to_end \
+        #                    tests/test_vr.py::test_vr_separator_end_to_end
+        # Historically aborts with glibc "double free or corruption (out)".
+        # See tools/xla_cpu_heap_repro.py for the distilled (non-reproducing)
+        # synthetic version and the full evidence trail.
+        jax.clear_caches()

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Minimal-repro search for the XLA:CPU heap corruption shielded in tests.
+
+Symptom (bisected during the round-1/2 test-suite work, see tests/conftest.py):
+long multi-model sessions on the XLA:CPU backend abort with glibc
+``double free or corruption (out)`` at a *later*, unrelated native free.
+Two triggers were isolated:
+
+  1. ``jax.clear_caches()`` while compiled executables from a prior model
+     family are still reachable (deterministic abort a few allocations later
+     in the original two-test bisection:
+     tests/test_htdemucs.py::test_demucs_separator_end_to_end followed by
+     tests/test_vr.py::test_vr_separator_end_to_end, then clear).
+  2. Plain long sessions without any clear (layout-dependent; suite runs
+     clean under the glibc debug allocator's per-free canary checks, so the
+     clobbering write happens in code the debug allocator's different layout
+     moves out of harm's way — consistent with an out-of-bounds write in
+     XLA:CPU generated code or its runtime, not this repo's native code,
+     which the debug allocator would still catch).
+
+This script distils trigger 1 without the test suite: compile a few
+distinct-program-shape jitted functions (enough buffer traffic to mimic the
+e2e tests), drop references, ``jax.clear_caches()``, then churn allocations
+through numpy + another compile to give the corrupted heap a chance to trip
+glibc's consistency checks. Exit codes:
+
+  0   no abort observed (bug did not reproduce in this environment)
+  !=0 / SIGABRT   reproduced — the stderr glibc message is the evidence
+
+Run it standalone (NOT under conftest's debug allocator — that hides it):
+
+    AUDSEP_NO_MALLOC_DEBUG=1 python tools/xla_cpu_heap_repro.py [rounds]
+
+For upstream reporting, pair a crashing run with
+``MALLOC_CHECK_=3 LD_PRELOAD=/lib/x86_64-linux-gnu/libc_malloc_debug.so``
+(which historically runs clean -> layout dependence) and a core dump.
+
+The faithful trigger is also runnable in one command via the env-gated
+switch in tests/conftest.py (re-enables clear_caches between modules):
+
+    AUDSEP_NO_MALLOC_DEBUG=1 AUDSEP_CLEAR_CACHES_REPRO=1 \
+    python -m pytest tests/test_htdemucs.py::test_demucs_separator_end_to_end \
+                     tests/test_vr.py::test_vr_separator_end_to_end
+
+Status 2026-08-17: the isolated two-test sequence + clear now runs clean
+(92 s, 2 passed) — the corruption needs the wider suite's heap layout.
+Neither distillation reproduces standalone; the shield in conftest stays.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
+)
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    rng = np.random.default_rng(0)
+
+    def build_programs(tag: int):
+        """A handful of distinct program shapes: convs + matmuls + FFTs, the
+        op mix of the two e2e tests in the original bisection."""
+        fns = []
+        n = 64 + 8 * tag  # vary shapes so every round compiles fresh code
+
+        @jax.jit
+        def conv(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+        @jax.jit
+        def mm(a, b):
+            return jnp.tanh(a @ b) @ b.T
+
+        @jax.jit
+        def fft(x):
+            return jnp.abs(jnp.fft.rfft(x, axis=-1))
+
+        x4 = jnp.asarray(rng.standard_normal((2, 8, n, n)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((16, 8, 3, 3)), jnp.float32)
+        a = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+        x2 = jnp.asarray(rng.standard_normal((4, 1024 + n)), jnp.float32)
+        fns.append(np.asarray(conv(x4, w)).sum())
+        fns.append(np.asarray(mm(a, a)).sum())
+        fns.append(np.asarray(fft(x2)).sum())
+        return fns
+
+    for r in range(rounds):
+        acc = build_programs(r)
+        print(f"round {r}: programs ran (checksums {[f'{v:.3g}' for v in acc]})",
+              flush=True)
+        # The suspected trigger: clear caches while backend buffers/executables
+        # are still winding down, then churn the heap.
+        jax.clear_caches()
+        junk = [np.empty(sz, np.uint8) for sz in rng.integers(64, 1 << 18, 256)]
+        for j in junk:
+            j[:: max(1, len(j) // 16)] = 0xAA
+        del junk
+        print(f"round {r}: clear_caches + churn survived", flush=True)
+
+    print("no corruption reproduced in this run (bug is layout-dependent; "
+          "see docstring)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
