@@ -207,6 +207,51 @@ class Separator:
         self.logger.info(f"demixing over device mesh {dict(mesh.shape)}")
         return mesh
 
+    def _probe_devices_with_watchdog(self):
+        """`jax.devices()` guarded against an unresponsive TPU runtime.
+
+        Device discovery talks to the TPU runtime and can block indefinitely
+        when that runtime is down (observed: tethered-relay outages wedge any
+        device op, including discovery). Probe in a daemon thread: while it
+        blocks, log an actionable warning every 30 s; if
+        ``AUDSEP_DEVICE_TIMEOUT_S`` is set (the CLI info commands default it),
+        raise after that long so callers fail fast instead of hanging.
+        """
+        import threading
+
+        import jax
+
+        result = {}
+
+        def probe():
+            try:
+                result["devices"] = jax.devices()
+            except Exception as exc:  # noqa: BLE001 — re-raised on the caller
+                result["error"] = exc
+
+        thread = threading.Thread(target=probe, daemon=True,
+                                  name="audsep-device-probe")
+        thread.start()
+        timeout = float(os.environ.get("AUDSEP_DEVICE_TIMEOUT_S", 0) or 0)
+        waited = 0.0
+        while True:
+            interval = 30.0 if timeout <= 0 else min(30.0, timeout - waited)
+            thread.join(max(interval, 0.1))
+            if not thread.is_alive():
+                break
+            waited += interval
+            self.logger.warning(
+                f"JAX device discovery blocked for {waited:.0f}s — the TPU "
+                f"runtime looks unresponsive. Set JAX_PLATFORMS=cpu to force "
+                f"CPU, or AUDSEP_DEVICE_TIMEOUT_S to fail fast.")
+            if timeout > 0 and waited >= timeout:
+                raise RuntimeError(
+                    f"JAX device discovery did not respond within {timeout:.0f}s "
+                    f"(TPU runtime outage?). Set JAX_PLATFORMS=cpu to run on CPU.")
+        if "error" in result:
+            raise result["error"]
+        return result["devices"]
+
     def setup_inferencing_device(self):
         """Select the JAX device (TPU if available, else CPU) — replaces the
         reference's torch-CUDA/MPS/DML selection (ref: separator.py:317-444)."""
@@ -215,9 +260,7 @@ class Separator:
         self.logger.info(f"Operating System: {platform.system()} {platform.release()}")
         self.logger.info(f"Python Version: {platform.python_version()}")
         try:
-            import jax
-
-            devices = jax.devices()
+            devices = self._probe_devices_with_watchdog()
             self.jax_device = devices[0]
             kind = getattr(self.jax_device, "platform", "unknown")
             self.logger.info(f"JAX backend: {kind}, devices: {devices}")

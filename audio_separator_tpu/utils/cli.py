@@ -7,6 +7,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 
 
@@ -153,6 +154,9 @@ def main(argv=None):
     from ..separator import Separator
 
     if args.env_info:
+        # Info command: fail fast (with diagnosis) rather than hang when the
+        # TPU runtime is down; separation runs keep the default (block+warn).
+        os.environ.setdefault("AUDSEP_DEVICE_TIMEOUT_S", "120")
         Separator()
         sys.exit(0)
 

@@ -256,3 +256,38 @@ def test_pipeline_env_typo_is_ignored(monkeypatch):
     win = np.ones(1024, np.float32)
     out = overlap_add_demix(jfn, mix, 1024, 512, win, num_stems=1, batch_size=2)
     assert out.shape == (1, 2, 4096) and np.isfinite(out).all()
+
+
+def test_device_probe_timeout_raises(monkeypatch):
+    """A wedged TPU runtime (device discovery never returns) must fail fast
+    with a diagnosis when AUDSEP_DEVICE_TIMEOUT_S is set, not hang forever."""
+    import time
+
+    import jax
+
+    sep = make_separator()
+    monkeypatch.setattr(jax, "devices", lambda: time.sleep(3600))
+    monkeypatch.setenv("AUDSEP_DEVICE_TIMEOUT_S", "0.3")
+    with pytest.raises(RuntimeError, match="did not respond"):
+        sep._probe_devices_with_watchdog()
+
+
+def test_device_probe_normal_path(monkeypatch):
+    """Healthy discovery returns the device list unchanged."""
+    monkeypatch.delenv("AUDSEP_DEVICE_TIMEOUT_S", raising=False)
+    sep = make_separator()
+    devices = sep._probe_devices_with_watchdog()
+    assert devices and devices[0].platform == "cpu"
+
+
+def test_device_probe_propagates_errors(monkeypatch):
+    import jax
+
+    sep = make_separator()
+
+    def boom():
+        raise ValueError("no backend")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    with pytest.raises(ValueError, match="no backend"):
+        sep._probe_devices_with_watchdog()
