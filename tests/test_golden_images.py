@@ -1,0 +1,128 @@
+"""Golden-image regression: separated stems must stay visually identical.
+
+The reference's integration tier renders every separated stem as
+waveform/spectrogram images and SSIM-compares them against committed goldens
+(ref: tests/README.md:36-60, tests/utils.py:13-110). The same mechanism here,
+made hermetic: a fixed-seed synthetic Mel-RoFormer checkpoint separates a
+deterministic test signal, and the rendered spectrograms are compared against
+goldens committed under tests/goldens/. Any change to the DSP chain, demix
+engine, model math, converter, or writers that shifts the output audibly
+shows up as an SSIM drop.
+
+Regenerate (after an *intended* output change — inspect the diff first):
+
+    AUDSEP_REGEN_GOLDENS=1 python -m pytest tests/test_golden_images.py -q
+"""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from audio_separator_tpu.io import audio as audio_io
+from test_ensemble_e2e import HOP, SR, _make_model
+from utils_images import render_spectrogram, render_waveform, ssim, write_png
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+REGEN = bool(os.environ.get("AUDSEP_REGEN_GOLDENS"))
+# Log-spectrogram SSIM is extremely stable run-to-run (renders of the same
+# file differ only through float nondeterminism); 0.98 leaves headroom for
+# XLA version drift while still catching any real DSP change.
+SSIM_THRESHOLD = 0.98
+
+
+@pytest.fixture(scope="module")
+def separated_stems(tmp_path_factory):
+    from audio_separator_tpu.separator import Separator
+
+    tmp_path = tmp_path_factory.mktemp("golden")
+    model_dir = str(tmp_path / "models")
+    os.makedirs(model_dir)
+    model = _make_model(model_dir, "golden", seed=11)
+
+    # Deterministic 2 s test signal: stacked harmonics + AM so the
+    # spectrogram has visible structure in both axes.
+    t = np.arange(SR * 2) / SR
+    left = (np.sin(2 * np.pi * 440 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t))
+            + 0.3 * np.sin(2 * np.pi * 1320 * t))
+    right = (np.sin(2 * np.pi * 330 * t)
+             + 0.3 * np.sin(2 * np.pi * 990 * t) * (0.5 + 0.5 * np.cos(2 * np.pi * 3 * t)))
+    mix = np.stack([left, right]).astype(np.float32) * 0.3
+    in_path = str(tmp_path / "golden_mix.wav")
+    audio_io.save_audio(in_path, mix, SR)
+
+    out_dir = str(tmp_path / "out")
+    sep = Separator(log_level=logging.WARNING, model_file_dir=model_dir,
+                    output_dir=out_dir, output_format="WAV")
+    sep.load_model(model)
+    outputs = sep.separate(in_path)
+    paths = {}
+    for out in outputs:
+        full = out if os.path.isabs(out) else os.path.join(out_dir, os.path.basename(out))
+        label = "vocals" if "vocals" in os.path.basename(full).lower() else "other"
+        paths[label] = full
+    assert set(paths) == {"vocals", "other"}
+    return paths
+
+
+@pytest.mark.parametrize("stem", ["vocals", "other"])
+@pytest.mark.parametrize("kind", ["spectrogram", "waveform"])
+def test_stem_matches_golden_image(separated_stems, stem, kind, tmp_path):
+    render = render_spectrogram if kind == "spectrogram" else render_waveform
+    img = render(separated_stems[stem])
+    golden_path = os.path.join(GOLDEN_DIR, f"golden_{stem}_{kind}.png")
+
+    if REGEN:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        write_png(golden_path, img)
+        pytest.skip(f"regenerated {golden_path}")
+
+    assert os.path.exists(golden_path), (
+        f"golden missing: run AUDSEP_REGEN_GOLDENS=1 pytest {__file__}")
+    golden = _read_png(golden_path)
+    score = ssim(img, golden)
+    if score <= SSIM_THRESHOLD:  # render the offender for human diffing
+        write_png(str(tmp_path / f"actual_{stem}_{kind}.png"), img)
+    assert score > SSIM_THRESHOLD, (
+        f"{stem} {kind} drifted from golden (SSIM {score:.4f}); actual image "
+        f"written to {tmp_path}. If the change is intended, regenerate with "
+        f"AUDSEP_REGEN_GOLDENS=1.")
+
+
+def _read_png(path: str) -> np.ndarray:
+    """Minimal grayscale-8bit PNG reader (pairs with utils_images.write_png)."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, width = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color = struct.unpack(">IIBB", payload[:10])
+            assert (bit_depth, color) == (8, 0), "expected 8-bit grayscale"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += length + 12
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    rows = []
+    prev = np.zeros(width, np.uint8)
+    for y in range(height):
+        filt = raw[y * stride]
+        row = np.frombuffer(raw[y * stride + 1:(y + 1) * stride], np.uint8).copy()
+        if filt == 0:
+            pass
+        elif filt == 2:  # Up
+            row = (row.astype(np.int32) + prev).astype(np.uint8)
+        else:
+            raise AssertionError(f"unsupported PNG filter {filt}")
+        rows.append(row)
+        prev = row
+    return np.stack(rows)
