@@ -232,7 +232,13 @@ class Separator:
         thread = threading.Thread(target=probe, daemon=True,
                                   name="audsep-device-probe")
         thread.start()
-        timeout = float(os.environ.get("AUDSEP_DEVICE_TIMEOUT_S", 0) or 0)
+        try:
+            timeout = float(os.environ.get("AUDSEP_DEVICE_TIMEOUT_S", 0) or 0)
+        except ValueError:
+            self.logger.warning(
+                "Ignoring non-numeric AUDSEP_DEVICE_TIMEOUT_S="
+                f"{os.environ['AUDSEP_DEVICE_TIMEOUT_S']!r}")
+            timeout = 0.0
         waited = 0.0
         while True:
             interval = 30.0 if timeout <= 0 else min(30.0, timeout - waited)

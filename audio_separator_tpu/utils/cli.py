@@ -155,9 +155,15 @@ def main(argv=None):
 
     if args.env_info:
         # Info command: fail fast (with diagnosis) rather than hang when the
-        # TPU runtime is down; separation runs keep the default (block+warn).
+        # TPU runtime is down; separation runs keep the default (block+warn),
+        # so restore the env for later in-process main() calls.
+        had = os.environ.get("AUDSEP_DEVICE_TIMEOUT_S")
         os.environ.setdefault("AUDSEP_DEVICE_TIMEOUT_S", "120")
-        Separator()
+        try:
+            Separator()
+        finally:
+            if had is None:
+                os.environ.pop("AUDSEP_DEVICE_TIMEOUT_S", None)
         sys.exit(0)
 
     if args.list_models:

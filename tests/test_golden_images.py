@@ -21,7 +21,7 @@ import numpy as np
 import pytest
 
 from audio_separator_tpu.io import audio as audio_io
-from test_ensemble_e2e import HOP, SR, _make_model
+from test_ensemble_e2e import SR, _make_model
 from utils_images import render_spectrogram, render_waveform, ssim, write_png
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")

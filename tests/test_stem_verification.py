@@ -127,7 +127,8 @@ def test_sweep_tool_end_to_end(refs, tmp_path, monkeypatch):
 
         def list_supported_model_files(self):
             return {"MDXC": {"Good Model": {"filename": "good.ckpt"},
-                             "Bad Model": {"filename": "bad.ckpt"}},
+                             "Bad Model": {"filename": "bad.ckpt"},
+                             "Empty Model": {"filename": "empty.ckpt"}},
                     "VR": {"Broken Model": {"filename": "broken.pth"}}}
 
         def load_model(self, filename):
@@ -136,6 +137,8 @@ def test_sweep_tool_end_to_end(refs, tmp_path, monkeypatch):
                 raise RuntimeError("download failed")
 
         def separate(self, input_file):
+            if self.filename == "empty.ckpt":
+                return []  # produced nothing: must be FAIL, not a silent PASS
             stem = vocal if self.filename == "good.ckpt" else inst
             out = os.path.join(self.output_dir, f"t_(Vocals)_{self.filename}.wav")
             audio_io.save_audio(out, np.stack([stem, stem]), SR)
@@ -155,10 +158,12 @@ def test_sweep_tool_end_to_end(refs, tmp_path, monkeypatch):
     import json
 
     data = json.loads(report.read_text())
-    assert data["counts"] == {"PASS": 1, "FAIL": 1, "SKIP": 1}
+    assert data["counts"] == {"PASS": 1, "FAIL": 2, "SKIP": 1}
     by_model = {r["model"]: r for r in data["results"]}
     assert by_model["good.ckpt"]["status"] == "PASS"
     assert by_model["bad.ckpt"]["status"] == "FAIL"
+    assert by_model["empty.ckpt"]["status"] == "FAIL"
+    assert "no output files" in by_model["empty.ckpt"]["error"]
     assert by_model["broken.pth"]["status"] == "SKIP"
 
     # report-only + filters: only the failing model, but exit 0

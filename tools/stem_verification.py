@@ -54,7 +54,7 @@ def iter_models(filters, archs):
             yield arch, friendly_name, filename
 
 
-def verify_model(arch, friendly_name, filename, input_file, refs, logger):
+def verify_model(arch, friendly_name, filename, input_file, refs):
     """Run one model end-to-end; returns a result dict."""
     from audio_separator_tpu.separator import Separator
     from audio_separator_tpu.utils.audio_verification import (
@@ -76,14 +76,23 @@ def verify_model(arch, friendly_name, filename, input_file, refs, logger):
             result["error"] = f"{type(exc).__name__}: {exc}"
             return result
 
+        if not output_files:
+            result["status"] = "FAIL"
+            result["error"] = "separation produced no output files"
+            return result
         for out in output_files:
             path = out if os.path.isabs(out) else os.path.join(out_dir, out)
             if not os.path.exists(path):
                 path = os.path.join(out_dir, os.path.basename(out))
             match = STEM_LABEL_RE.search(os.path.basename(path))
             label = match.group(1) if match else "Unknown"
-            passed, msg = verify_stem_label(path, label, ref_vocal, ref_inst,
-                                            ref_mix, min_len)
+            # One unreadable/missing stem must not abort a multi-hour sweep:
+            # it's this model's FAIL, the loop carries on.
+            try:
+                passed, msg = verify_stem_label(path, label, ref_vocal,
+                                                ref_inst, ref_mix, min_len)
+            except Exception as exc:  # noqa: BLE001
+                passed, msg = False, f"unreadable output {path}: {exc}"
             if not passed and relaxed:
                 passed, msg = True, f"WARN (specialized model): {msg}"
             result["stems"].append({"label": label, "passed": passed, "msg": msg})
@@ -113,7 +122,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.WARNING)
-    logger = logging.getLogger("stem_verification")
 
     from audio_separator_tpu.utils.audio_verification import load_references
 
@@ -127,15 +135,14 @@ def main(argv=None):
         if args.limit and len(results) >= args.limit:
             break
         print(f"\n{filename} ({arch})\n  {friendly_name}", flush=True)
-        res = verify_model(arch, friendly_name, filename, args.input, refs, logger)
+        res = verify_model(arch, friendly_name, filename, args.input, refs)
         results.append(res)
         counts[res["status"]] += 1
-        if res["status"] == "SKIP":
-            print(f"  SKIP  {res['error']}", flush=True)
-        else:
-            for stem in res["stems"]:
-                tag = "PASS" if stem["passed"] else "FAIL"
-                print(f"  {stem['label']:<20} {tag}  {stem['msg']}", flush=True)
+        if res.get("error"):
+            print(f"  {res['status']}  {res['error']}", flush=True)
+        for stem in res["stems"]:
+            tag = "PASS" if stem["passed"] else "FAIL"
+            print(f"  {stem['label']:<20} {tag}  {stem['msg']}", flush=True)
 
     print(f"\n=== {counts['PASS']} passed, {counts['FAIL']} failed, "
           f"{counts['SKIP']} skipped of {len(results)} models ===", flush=True)
