@@ -233,3 +233,23 @@ def test_tiled_mask_predict_tiles_and_padding():
         [spec2[:, :, i * roi + offset : i * roi + offset + roi] * 2.0
          for i in range(n2)], axis=-1)
     np.testing.assert_allclose(mask2, want2)
+
+
+def test_demix_int8_transfer_within_tolerance():
+    """Opt-in int8 stem fetch: quarter the D2H bytes, error bounded by the
+    ~48 dB quantisation step (|err| <= peak/120 per sample, pre-normalise)."""
+    rng = np.random.default_rng(17)
+    mix = rng.standard_normal((2, 20000)).astype(np.float32)
+    chunk, step = 2048, 1500
+    window = np.asarray(hamming_window(chunk))
+    base = overlap_add_demix(_model, mix, chunk, step, window,
+                             num_stems=2, batch_size=2)
+    peak = np.abs(base).max()
+    for k in (1, 3):  # single-scan and pipelined paths
+        q = overlap_add_demix(_model, mix, chunk, step, window,
+                              num_stems=2, batch_size=2, pipeline_segments=k,
+                              quantized_transfer="int8")
+        err = np.abs(q - base).max()
+        assert err < peak / 50, (k, err, peak)
+        # int8 must actually differ from the int16 path (i.e. the branch ran)
+        assert err > 1e-6, "int8 quantisation appears to be a no-op"
