@@ -253,13 +253,18 @@ def main():
     # ---- stage 2: end-to-end demix over the full track ----
     window = np.asarray(hamming_window(chunk))
 
+    # AUDSEP_D2H=int8 halves the stem fetch again (~48 dB SNR, still far
+    # below separation error) — A/B knob for the tethered link; int16 default.
+    d2h = ("int8" if os.environ.get("AUDSEP_D2H", "int16").lower() == "int8"
+           else True)
+
     def run(n_seconds):
         mix = (rng.standard_normal((2, int(n_seconds * sr))) * 0.1).astype(np.float32)
         # pipeline_segments=None: the engine picks the transfer-overlap depth
         # (AUDSEP_PIPELINE env override parsed tolerantly in ops/demix.py).
         return overlap_add_demix(model_fn, mix, chunk, step, window,
                                  num_stems=cfg.num_stems, batch_size=batch_size,
-                                 model_params=params, quantized_transfer=True,
+                                 model_params=params, quantized_transfer=d2h,
                                  pipeline_segments=None, quantized_upload=True)
 
     def remaining():
