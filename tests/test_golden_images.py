@@ -126,3 +126,79 @@ def _read_png(path: str) -> np.ndarray:
         rows.append(row)
         prev = row
     return np.stack(rows)
+
+
+# ---------------------------------------------------------------------------
+# Second family: VR (completely different DSP chain — multiband split, conv
+# U-Net mask, aggression curve) pinned by the same golden mechanism.
+
+
+@pytest.fixture(scope="module")
+def vr_stems(tmp_path_factory):
+    import logging
+
+    import torch
+
+    import jax
+
+    from audio_separator_tpu.architectures.vr import VRSeparator
+    from audio_separator_tpu.models.vr_nets import state_dict_to_tree
+    from test_vr import SP_CAPS, _randomize
+    from torch_oracles.vr_oracle import CascadedASPPNetOracle
+
+    tmp_path = tmp_path_factory.mktemp("golden_vr")
+    oracle = _randomize(CascadedASPPNetOracle(2048, SP_CAPS, 31191), seed=5).eval()
+    ckpt = str(tmp_path / "golden_vr.pth")
+    torch.save(oracle.state_dict(), ckpt)
+
+    t = np.arange(SR * 2) / SR
+    left = np.sin(2 * np.pi * 523 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 1.5 * t))
+    right = np.sin(2 * np.pi * 392 * t) + 0.25 * np.sin(2 * np.pi * 1568 * t)
+    mix = np.stack([left, right]).astype(np.float32) * 0.3
+    in_path = str(tmp_path / "golden_vr_mix.wav")
+    audio_io.save_audio(in_path, mix, SR)
+
+    out_dir = str(tmp_path / "out")
+    sep = VRSeparator(
+        common_config={
+            "logger": logging.getLogger("golden_vr"),
+            "model_name": "golden_vr", "model_path": ckpt,
+            "model_data": {"vr_model_param": "1band_sr44100_hl512",
+                           "primary_stem": "Instrumental"},
+            "output_dir": out_dir, "output_format": "WAV",
+            "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+            "sample_rate": 44100,
+        },
+        arch_config={"batch_size": 2, "window_size": 512, "aggression": 5,
+                     "enable_tta": False, "enable_post_process": False,
+                     "post_process_threshold": 0.2, "high_end_process": False})
+    sep._params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}))
+    sep._arch_size = 31191
+    sep._offset = 128
+    outputs = sep.separate(in_path)
+    paths = {}
+    for out in outputs:
+        full = out if os.path.isabs(out) else os.path.join(out_dir, out)
+        label = "instrumental" if "instrumental" in os.path.basename(full).lower() else "vocals"
+        paths[label] = full
+    assert set(paths) == {"instrumental", "vocals"}
+    return paths
+
+
+@pytest.mark.parametrize("stem", ["instrumental", "vocals"])
+def test_vr_stem_matches_golden_image(vr_stems, stem, tmp_path):
+    img = render_spectrogram(vr_stems[stem])
+    golden_path = os.path.join(GOLDEN_DIR, f"golden_vr_{stem}_spectrogram.png")
+    if REGEN:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        write_png(golden_path, img)
+        pytest.skip(f"regenerated {golden_path}")
+    assert os.path.exists(golden_path), (
+        f"golden missing: run AUDSEP_REGEN_GOLDENS=1 pytest {__file__}")
+    score = ssim(img, _read_png(golden_path))
+    if score <= SSIM_THRESHOLD:
+        write_png(str(tmp_path / f"actual_vr_{stem}.png"), img)
+    assert score > SSIM_THRESHOLD, (
+        f"VR {stem} drifted from golden (SSIM {score:.4f}); actual written to "
+        f"{tmp_path}. If intended, regenerate with AUDSEP_REGEN_GOLDENS=1.")
