@@ -101,6 +101,10 @@ _SLOW_TESTS = {
     "test_vr_tta_mode",
     "test_bf16_norm_switch_close_to_fp32",
     "test_remote_real_separation_end_to_end",
+    # golden-image modules: the VR / Demucs synthetic-separation fixtures are
+    # the cost (~40 s); the roformer goldens stay in the fast tier
+    "test_vr_stem_matches_golden_image",
+    "test_demucs_stem_matches_golden_image",
 }
 
 

@@ -202,3 +202,94 @@ def test_vr_stem_matches_golden_image(vr_stems, stem, tmp_path):
     assert score > SSIM_THRESHOLD, (
         f"VR {stem} drifted from golden (SSIM {score:.4f}); actual written to "
         f"{tmp_path}. If intended, regenerate with AUDSEP_REGEN_GOLDENS=1.")
+
+
+# ---------------------------------------------------------------------------
+# Third family: Demucs (time-domain + spectrogram hybrid, bag loader,
+# triangular overlap-add) — four stems pinned from one synthetic bag.
+
+
+@pytest.fixture(scope="module")
+def demucs_stems(tmp_path_factory):
+    import logging
+    import sys
+
+    import torch
+    import yaml as yaml_mod
+
+    from audio_separator_tpu.architectures.demucs import DemucsSeparator
+    from audio_separator_tpu.models.demucs_load import _ensure_stub_modules
+    from torch_oracles.htdemucs_oracle import HTDemucsOracle
+
+    tmp_path = tmp_path_factory.mktemp("golden_demucs")
+    torch.manual_seed(23)
+    sources = ("drums", "bass", "other", "vocals")
+    oracle = HTDemucsOracle(sources, channels=8, nfft=1024, depth=3,
+                            t_layers=3, t_heads=4, segment=0.5).eval()
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    _ensure_stub_modules()
+    package = {
+        "klass": sys.modules["demucs.htdemucs"].HTDemucs,
+        "args": (),
+        "kwargs": {"sources": list(sources), "channels": 8, "nfft": 1024,
+                   "depth": 3, "t_layers": 3, "t_heads": 4, "segment": 0.5},
+        "state": oracle.state_dict(),
+    }
+    torch.save(package, repo / "deadbeef.th")
+    with open(repo / "golden_demucs.yaml", "w") as f:
+        yaml_mod.safe_dump({"models": ["deadbeef"], "weights": [[1.0] * 4]}, f)
+
+    t = np.arange(SR * 2) / SR
+    left = (np.sin(2 * np.pi * 660 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 4 * t))
+            + 0.2 * np.sin(2 * np.pi * 110 * t))
+    right = np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 880 * t)
+    mix = np.stack([left, right]).astype(np.float32) * 0.3
+    in_path = str(tmp_path / "golden_demucs_mix.wav")
+    audio_io.save_audio(in_path, mix, SR)
+
+    out_dir = str(tmp_path / "out")
+    sep = DemucsSeparator(
+        common_config={
+            "logger": logging.getLogger("golden_demucs"),
+            "model_name": "golden_demucs",
+            "model_path": str(repo / "golden_demucs.yaml"),
+            "model_data": {"primary_stem": "Vocals"},
+            "output_dir": out_dir, "output_format": "WAV",
+            "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+            "sample_rate": 44100,
+        },
+        arch_config={"segment_size": "Default", "shifts": 0, "overlap": 0.25,
+                     "segments_enabled": True, "batch_size": 2})
+    outputs = sep.separate(in_path)
+    paths = {}
+    for out in outputs:
+        full = out if os.path.isabs(out) else os.path.join(out_dir, out)
+        for label in ("drums", "bass", "other", "vocals"):
+            if f"({label}" in os.path.basename(full).lower():
+                paths[label] = full
+    assert set(paths) == {"drums", "bass", "other", "vocals"}, paths
+    return paths
+
+
+@pytest.mark.parametrize("stem", ["drums", "bass", "other", "vocals"])
+def test_demucs_stem_matches_golden_image(demucs_stems, stem, tmp_path):
+    img = render_spectrogram(demucs_stems[stem])
+    golden_path = os.path.join(GOLDEN_DIR, f"golden_demucs_{stem}_spectrogram.png")
+    if REGEN:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        write_png(golden_path, img)
+        pytest.skip(f"regenerated {golden_path}")
+    assert os.path.exists(golden_path), (
+        f"golden missing: run AUDSEP_REGEN_GOLDENS=1 pytest {__file__}")
+    score = ssim(img, _read_png(golden_path))
+    if score <= SSIM_THRESHOLD:
+        write_png(str(tmp_path / f"actual_demucs_{stem}.png"), img)
+    assert score > SSIM_THRESHOLD, (
+        f"Demucs {stem} drifted from golden (SSIM {score:.4f}); actual "
+        f"written to {tmp_path}. If intended, regenerate with "
+        f"AUDSEP_REGEN_GOLDENS=1.")
