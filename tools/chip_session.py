@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""One-claim TPU session: every experiment in a single process.
+
+Claim lag between processes on the tethered relay is 10-25 min, so batching
+all on-chip work into ONE process is the only efficient way to measure.
+Order of business (each stage prints as it lands, so a killed session still
+yields data):
+
+  1. chip claim + params resident (device-side init)
+  2. stage-1 model-only forward RTF (bench.py's stage-1 program — warms the
+     shared .jax_cache entry the driver's bench run will hit)
+  3. e2e demix at the bench default (batch 4, depth 4, int16 both ways) —
+     warms bench.py's stage-2 program
+  4. int8 D2H A/B at the same geometry
+  5. optional wider grid (pass --grid) — (batch, depth, d2h) combos
+
+Usage:  python tools/chip_session.py [track_seconds=240] [--grid]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+T0 = time.time()
+
+
+def mark(msg):
+    print(f"[chip +{time.time() - T0:7.1f}s] {msg}", flush=True)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    seconds = float(args[0]) if args else 240.0
+    wide_grid = "--grid" in sys.argv
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from audio_separator_tpu.models.init_params import (
+        flagship_config, init_roformer_params_device)
+    from audio_separator_tpu.models.roformer import apply_roformer
+    from audio_separator_tpu.ops.demix import overlap_add_demix
+    from audio_separator_tpu.ops.stft import hamming_window
+
+    sr = 44100
+    cfg = flagship_config()
+    chunk = cfg.stft_hop_length * (801 - 1)
+    step = min(8 * sr, chunk)
+
+    mark(f"devices: {jax.devices()}")
+    params = init_roformer_params_device(cfg, seed=0, dtype=jnp.bfloat16)
+    jax.block_until_ready(params)
+    mark("params resident")
+
+    def model_fn(p, chunks):
+        out = apply_roformer(p, cfg, chunks, compute_dtype=jnp.bfloat16)
+        return out[..., : chunks.shape[-1]]
+
+    # ---- stage 1: model-only forward (bench.py stage-1 program) ----
+    rng = np.random.default_rng(0)
+    batch = 4
+    fwd = jax.jit(lambda p, c: jnp.sum(model_fn(p, c).astype(jnp.float32)))
+    batch_dev = jax.device_put(
+        (rng.standard_normal((batch, 2, chunk)) * 0.1).astype(np.float32))
+    float(fwd(params, batch_dev))
+    mark("stage-1 compile done")
+    t_fwd = min(_timed(lambda: float(fwd(params, batch_dev))) for _ in range(3))
+    mark(f"model-only: {t_fwd * 1e3:.0f} ms/forward = "
+         f"{batch * chunk / sr / t_fwd:.1f}x realtime")
+
+    # ---- e2e at the bench geometry, int16 vs int8 D2H ----
+    mix = (rng.standard_normal((2, int(seconds * sr))) * 0.1).astype(np.float32)
+    window = np.asarray(hamming_window(chunk))
+
+    def e2e(batch_size, depth, d2h, passes=3):
+        def run():
+            return overlap_add_demix(
+                model_fn, mix, chunk, step, window, num_stems=cfg.num_stems,
+                batch_size=batch_size, model_params=params,
+                quantized_transfer=d2h, quantized_upload=True,
+                pipeline_segments=depth)
+
+        t0 = time.time()
+        out = run()
+        warm = time.time() - t0
+        assert np.isfinite(out).all()
+        best = warm
+        for _ in range(passes):
+            best = min(best, _timed(run))
+        mark(f"e2e batch={batch_size} depth={depth} d2h={d2h}: "
+             f"warm={warm:6.1f}s best={best:6.2f}s rtf={seconds / best:6.1f}x")
+        return best
+
+    e2e(4, 4, True)     # bench default — warms the driver's stage-2 program
+    e2e(4, 4, "int8")   # the A/B this round added
+
+    if wide_grid:
+        for b, d, q in ((8, 4, True), (8, 4, "int8"), (4, 8, True),
+                        (6, 4, True), (2, 8, True)):
+            e2e(b, d, q, passes=2)
+    mark("session complete")
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+if __name__ == "__main__":
+    main()
