@@ -14,10 +14,16 @@ import requests
 
 
 class AudioSeparatorAPIClient:
-    def __init__(self, api_url: str, logger: Optional[logging.Logger] = None):
+    def __init__(self, api_url: str, logger: Optional[logging.Logger] = None,
+                 api_key: Optional[str] = None):
         self.api_url = api_url.rstrip("/")
         self.logger = logger or logging.getLogger(__name__)
         self.session = requests.Session()
+        # Shared-key auth matching server.check_api_key: explicit arg wins,
+        # else the same AUDSEP_API_KEY env var the server reads.
+        key = api_key or os.environ.get("AUDSEP_API_KEY")
+        if key:
+            self.session.headers["X-API-Key"] = key
 
     # ------------------------------------------------------------- submission
 

@@ -16,6 +16,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Remote audio separation client.",
         formatter_class=lambda prog: argparse.RawTextHelpFormatter(prog, max_help_position=50))
+    parser.add_argument("--api_key", default=None,
+                        help="API key for a keyed server (or AUDSEP_API_KEY env var).")
     parser.add_argument("--api_url",
                         default=os.environ.get("AUDIO_SEPARATOR_API_URL"),
                         help="Remote API URL (or AUDIO_SEPARATOR_API_URL env var).")
@@ -95,7 +97,7 @@ def main(argv=None):
 
     from .api_client import AudioSeparatorAPIClient
 
-    client = AudioSeparatorAPIClient(args.api_url)
+    client = AudioSeparatorAPIClient(args.api_url, api_key=args.api_key)
 
     if args.command == "separate":
         tuning_keys = [
