@@ -105,6 +105,8 @@ _SLOW_TESTS = {
     # the cost (~40 s); the roformer goldens stay in the fast tier
     "test_vr_stem_matches_golden_image",
     "test_demucs_stem_matches_golden_image",
+    "test_loss_decreases_single_device",
+    "test_sharded_training_matches_and_keeps_layout",
 }
 
 
