@@ -161,13 +161,13 @@ def overlap_add_demix(
     batch_size: int = 1,
     positions: np.ndarray | None = None,
     divider: np.ndarray | None = None,
-    quantized_transfer: bool | str = False,
+    quantized_transfer: bool | str | None = None,
     model_params=None,
     mesh=None,
     data_axis: str = "data",
     bucket: bool = True,
     pipeline_segments: int | None = None,
-    quantized_upload: bool = False,
+    quantized_upload: bool | None = None,
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
 
@@ -219,6 +219,20 @@ def overlap_add_demix(
     shared_window = window.ndim == 1
     if not shared_window:
         assert window.shape == (n, chunk)
+
+    if quantized_transfer is None or quantized_upload is None:
+        # Deployment-wide link policy for callers that don't choose:
+        # AUDSEP_LINK_QUANT = off (default) | int16 | int8. Lets tethered /
+        # bandwidth-starved hosts get the quantised-transfer win on every
+        # production separation without threading a flag through every
+        # architecture. Explicit arguments (e.g. bench A/Bs) are unaffected.
+        import os
+
+        lq = os.environ.get("AUDSEP_LINK_QUANT", "").lower()
+        if quantized_transfer is None:
+            quantized_transfer = {"int16": True, "int8": "int8"}.get(lq, False)
+        if quantized_upload is None:
+            quantized_upload = lq in ("int16", "int8")
 
     if pipeline_segments is None:
         # Auto: overlap transfers with compute once the track is long enough

@@ -253,3 +253,29 @@ def test_demix_int8_transfer_within_tolerance():
         assert err < peak / 50, (k, err, peak)
         # int8 must actually differ from the int16 path (i.e. the branch ran)
         assert err > 1e-6, "int8 quantisation appears to be a no-op"
+
+
+def test_link_quant_env_policy(monkeypatch):
+    """AUDSEP_LINK_QUANT drives default transfer quantisation for callers
+    that don't choose (production separations on bandwidth-starved hosts)."""
+    rng = np.random.default_rng(23)
+    mix = rng.standard_normal((2, 12000)).astype(np.float32)
+    chunk, step = 2048, 1500
+    window = np.asarray(hamming_window(chunk))
+
+    def run():
+        return overlap_add_demix(_model, mix, chunk, step, window,
+                                 num_stems=2, batch_size=2)
+
+    monkeypatch.delenv("AUDSEP_LINK_QUANT", raising=False)
+    base = run()
+    monkeypatch.setenv("AUDSEP_LINK_QUANT", "int8")
+    q8 = run()
+    err8 = np.abs(q8 - base).max()
+    assert 1e-6 < err8 < np.abs(base).max() / 50  # quantised, within int8 bound
+    monkeypatch.setenv("AUDSEP_LINK_QUANT", "int16")
+    q16 = run()
+    err16 = np.abs(q16 - base).max()
+    assert 0 < err16 < 5e-4
+    monkeypatch.setenv("AUDSEP_LINK_QUANT", "nonsense")
+    np.testing.assert_array_equal(run(), base)  # unknown value = off
