@@ -40,6 +40,10 @@ def main():
     parser.add_argument("--mesh", action="store_true",
                         help="shard over all local devices (dp×tp)")
     parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--save", default=None,
+                        help="write the fine-tuned pytree here (.npz — the "
+                             "same format the checkpoint converter caches, "
+                             "loadable with models.convert.load_params)")
     args = parser.parse_args()
 
     import optax
@@ -83,6 +87,14 @@ def main():
         params, opt_state, loss = step(params, opt_state, mix, tgt)
         print(f"step {i:3d}: loss={float(loss):.4f} ({time.time() - t0:.2f}s)",
               flush=True)
+
+    if args.save:
+        import jax
+
+        from audio_separator_tpu.models.convert import save_params
+
+        save_params(args.save, jax.tree.map(np.asarray, params))
+        print(f"saved fine-tuned params to {args.save}", flush=True)
 
 
 if __name__ == "__main__":
