@@ -448,6 +448,39 @@ class Separator:
                     self.logger.error(f"Failed to process file {path}: {exc}")
         return output_files
 
+    def warmup(self, seconds: float = 8.0) -> float:
+        """Pre-compile the loaded model's demix programs; returns elapsed s.
+
+        XLA compiles one program per (track-length bucket, model) pair, and
+        without this the first user request pays that compile (tens of
+        seconds to minutes on a tethered TPU). Serving deployments call
+        ``warmup()`` after ``load_model()`` — pick ``seconds`` near the
+        expected track length so the right bucket is primed (buckets grow in
+        ~+33% steps, see ops/demix.py:bucket_up). Outputs go to a temp dir
+        and are discarded; the jit cache (and the persistent XLA cache, if
+        configured) keeps the compiled programs.
+        """
+        if not self.model_instance:
+            raise ValueError("Load a model before warming up.")
+        start = time.perf_counter()
+        with tempfile.TemporaryDirectory(prefix="audsep_warmup_") as td:
+            path = os.path.join(td, "warmup.wav")
+            noise = (np.random.default_rng(0).standard_normal(
+                (2, max(1, int(seconds * self.sample_rate)))) * 0.05
+            ).astype(np.float32)
+            audio_io.save_audio(path, noise, self.sample_rate)
+            prev_output_dir = self.model_instance.output_dir
+            self.model_instance.output_dir = td
+            try:
+                self.model_instance.separate(path)
+            finally:
+                self.model_instance.clear_file_specific_paths()
+                self.model_instance.output_dir = prev_output_dir
+        elapsed = time.perf_counter() - start
+        self.logger.info(f"Warmup separation compiled in {elapsed:.1f}s "
+                         f"({seconds:.0f}s synthetic track)")
+        return elapsed
+
     def _separate_file(self, audio_file_path: str, custom_output_names=None) -> List[str]:
         if self.chunk_duration is not None:
             chunker = AudioChunker(self.chunk_duration, self.logger)

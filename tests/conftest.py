@@ -106,6 +106,7 @@ _SLOW_TESTS = {
     "test_vr_stem_matches_golden_image",
     "test_demucs_stem_matches_golden_image",
     "test_loss_decreases_single_device",
+    "test_warmup_compiles_without_writing_outputs",
     "test_sharded_training_matches_and_keeps_layout",
 }
 

@@ -190,3 +190,29 @@ def test_single_stem_and_custom_names_end_to_end(tmp_path):
     assert len(outputs) == 1
     assert os.path.basename(outputs[0]) == "lead take 1.wav"
     assert os.path.exists(os.path.join(out_dir, "lead take 1.wav"))
+
+
+def test_warmup_compiles_without_writing_outputs(tmp_path):
+    """Separator.warmup primes the demix programs; the user-visible output
+    dir stays untouched and a following real separation works."""
+    from audio_separator_tpu.separator import Separator
+
+    model_dir = str(tmp_path / "models")
+    os.makedirs(model_dir)
+    m1 = _make_model(model_dir, "warm", seed=9)
+    out_dir = str(tmp_path / "out")
+    sep = Separator(log_level=logging.WARNING, model_file_dir=model_dir,
+                    output_dir=out_dir, output_format="WAV")
+    sep.load_model(m1)
+    elapsed = sep.warmup(seconds=2.0)
+    assert elapsed > 0
+    assert not os.path.exists(out_dir) or not os.listdir(out_dir)
+    assert sep.model_instance.output_dir == out_dir  # restored
+
+    t = np.arange(SR * 2) / SR
+    mix = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 330 * t)]).astype(np.float32) * 0.3
+    in_path = str(tmp_path / "mix.wav")
+    audio_io.save_audio(in_path, mix, SR)
+    outputs = sep.separate(in_path)
+    assert len(outputs) == 2 and os.listdir(out_dir)
