@@ -228,7 +228,13 @@ def overlap_add_demix(
         # architecture. Explicit arguments (e.g. bench A/Bs) are unaffected.
         import os
 
-        lq = os.environ.get("AUDSEP_LINK_QUANT", "").lower()
+        lq = os.environ.get("AUDSEP_LINK_QUANT", "").strip().lower()
+        if lq and lq not in ("int16", "int8", "off"):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                f"ignoring unrecognised AUDSEP_LINK_QUANT={lq!r} "
+                f"(expected int16/int8/off); transfers stay float")
         if quantized_transfer is None:
             quantized_transfer = {"int16": True, "int8": "int8"}.get(lq, False)
         if quantized_upload is None:

@@ -460,7 +460,9 @@ class Separator:
         and are discarded; the jit cache (and the persistent XLA cache, if
         configured) keeps the compiled programs.
         """
-        if not self.model_instance:
+        is_ensemble = (isinstance(self.model_filename, list)
+                       and len(self.model_filename) > 1)
+        if not (self.model_instance or is_ensemble):
             raise ValueError("Load a model before warming up.")
         start = time.perf_counter()
         with tempfile.TemporaryDirectory(prefix="audsep_warmup_") as td:
@@ -469,13 +471,21 @@ class Separator:
                 (2, max(1, int(seconds * self.sample_rate)))) * 0.05
             ).astype(np.float32)
             audio_io.save_audio(path, noise, self.sample_rate)
-            prev_output_dir = self.model_instance.output_dir
-            self.model_instance.output_dir = td
+            # Route through the REAL separation path (self.separate) so the
+            # warmed programs are exactly the production ones: chunk_duration
+            # splitting and ensemble member models included.
+            prev_output_dir = self.output_dir
+            self.output_dir = td
+            if self.model_instance:
+                self.model_instance.output_dir = td
             try:
-                self.model_instance.separate(path)
+                self.separate(path)
             finally:
-                self.model_instance.clear_file_specific_paths()
-                self.model_instance.output_dir = prev_output_dir
+                self.output_dir = prev_output_dir
+                if self.model_instance:
+                    # (ensemble warmup may have swapped the instance)
+                    self.model_instance.clear_file_specific_paths()
+                    self.model_instance.output_dir = prev_output_dir
         elapsed = time.perf_counter() - start
         self.logger.info(f"Warmup separation compiled in {elapsed:.1f}s "
                          f"({seconds:.0f}s synthetic track)")

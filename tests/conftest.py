@@ -50,6 +50,11 @@ if (sys.platform == "linux"
 # (the corruption victim was always the next in-process libav free).
 os.environ.setdefault("AUDSEP_CODEC_SUBPROCESS", "1")
 
+# Hermeticity: a machine-wide link-quantisation policy must not flip the
+# suite's default-argument demixes to lossy transfers (parity tolerances and
+# goldens assume exact float paths; test_link_quant_env_policy sets its own).
+os.environ.pop("AUDSEP_LINK_QUANT", None)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -107,6 +112,7 @@ _SLOW_TESTS = {
     "test_demucs_stem_matches_golden_image",
     "test_loss_decreases_single_device",
     "test_warmup_compiles_without_writing_outputs",
+    "test_warmup_covers_ensemble_loads",
     "test_sharded_training_matches_and_keeps_layout",
 }
 

@@ -216,3 +216,23 @@ def test_warmup_compiles_without_writing_outputs(tmp_path):
     audio_io.save_audio(in_path, mix, SR)
     outputs = sep.separate(in_path)
     assert len(outputs) == 2 and os.listdir(out_dir)
+
+
+def test_warmup_covers_ensemble_loads(tmp_path):
+    """warmup() must work for ensemble loads too (it routes through the real
+    separate() path, compiling every member model's programs)."""
+    from audio_separator_tpu.separator import Separator
+
+    model_dir = str(tmp_path / "models")
+    os.makedirs(model_dir)
+    m1 = _make_model(model_dir, "wa", seed=4)
+    m2 = _make_model(model_dir, "wb", seed=5)
+    out_dir = str(tmp_path / "out")
+    sep = Separator(log_level=logging.WARNING, model_file_dir=model_dir,
+                    output_dir=out_dir, output_format="WAV",
+                    ensemble_algorithm="avg_wave")
+    sep.load_model([m1, m2])
+    elapsed = sep.warmup(seconds=2.0)
+    assert elapsed > 0
+    assert not os.path.exists(out_dir) or not os.listdir(out_dir)
+    assert sep.output_dir == out_dir

@@ -9,8 +9,8 @@ yields data):
   1. chip claim + params resident (device-side init)
   2. stage-1 model-only forward RTF (bench.py's stage-1 program — warms the
      shared .jax_cache entry the driver's bench run will hit)
-  3. e2e demix at the bench default (batch 4, depth 4, int16 both ways) —
-     warms bench.py's stage-2 program
+  3. e2e demix at the bench default (batch 4, auto pipeline depth, int16
+     both ways) — warms bench.py's stage-2 program (identical shapes)
   4. int8 D2H A/B at the same geometry
   5. optional wider grid (pass --grid) — (batch, depth, d2h) combos
 
@@ -99,8 +99,12 @@ def main():
              f"warm={warm:6.1f}s best={best:6.2f}s rtf={seconds / best:6.1f}x")
         return best
 
-    e2e(4, 4, True)     # bench default — warms the driver's stage-2 program
-    e2e(4, 4, "int8")   # the A/B this round added
+    # depth=None: resolve the pipeline depth exactly like bench.py does
+    # (pipeline_segments=None → the engine's auto formula), so the program
+    # shapes — and thus the persistent-cache entries — match the driver's
+    # bench run. A pinned depth would compile a different seg_n/seg_buf.
+    e2e(4, None, True)
+    e2e(4, None, "int8")  # the AUDSEP_D2H=int8 A/B
 
     if wide_grid:
         for b, d, q in ((8, 4, True), (8, 4, "int8"), (4, 8, True),
