@@ -151,18 +151,22 @@ class DemucsSeparator(BaseSeparator):
         training_len = cfg.training_length
         apply = apply_hdemucs if cfg.arch == "hdemucs" else apply_htdemucs
 
-        # Memoized per sub-model config: the demix scan jit-keys on model_fn's
-        # identity, so a fresh closure per call (per file, per bag model, per
-        # shift) would recompile the whole program each time.
-        cache = getattr(self, "_model_fn_cache", None)
-        if cache is None:
-            cache = self._model_fn_cache = {}
-        model_fn = cache.get(id(cfg))
-        if model_fn is None:
-            def model_fn(p, chunks):  # (B, 2, training_len) -> (B, S, 2, training_len)
-                return apply(p, cfg, chunks, compute_dtype=self.compute_dtype)
+        # Process-level memo (ops/fn_cache.py) keyed on the frozen sub-model
+        # config + dtype: the demix scan jit-keys on model_fn's identity, so
+        # a fresh closure per call (per file, per bag model, per shift — or
+        # per serving job's fresh Separator) would recompile each time.
+        from ..ops.fn_cache import memoized_model_fn
 
-            cache[id(cfg)] = model_fn
+        compute_dtype = self.compute_dtype
+
+        def _build():
+            def model_fn(p, chunks):  # (B, 2, training_len) -> (B, S, 2, training_len)
+                return apply(p, cfg, chunks, compute_dtype=compute_dtype)
+
+            return model_fn
+
+        model_fn = memoized_model_fn(
+            ("demucs", cfg, jnp.dtype(compute_dtype).name), _build)
 
         if not self.segments_enabled:
             # direct eval on the full (padded) track

@@ -61,48 +61,52 @@ class MDXSeparator(BaseSeparator):
 
     # ------------------------------------------------------------- model fns
 
-    def _window(self):
-        return hann_window(self.n_fft)
-
-    def _run_net(self, params, spek):
-        """(B, 4, dim_f, T) packed spectrum → model output, with optional
-        denoise double-pass (ref: mdx_separator.py:427-441)."""
-        if self.enable_denoise:
-            neg = self._onnx_fn(params, -spek)[0]
-            pos = self._onnx_fn(params, spek)[0]
-            return pos * 0.5 - neg * 0.5
-        return self._onnx_fn(params, spek)[0]
-
     def _model_fn(self, is_match_mix: bool):
-        # One fn object per (instance, flag): the demix scan jit-keys on the
-        # model_fn as a static argument (identity hash), so rebuilding this
-        # closure per call would recompile the whole program for every file.
-        cache = getattr(self, "_model_fn_cache", None)
-        if cache is None:
-            cache = self._model_fn_cache = {}
-        if is_match_mix in cache:
-            return cache[is_match_mix]
+        # Process-level memo (ops/fn_cache.py) keyed on the checkpoint path +
+        # geometry + flags: the demix scan jit-keys on the model_fn as a
+        # static argument (identity hash), so a fresh closure per instance
+        # (the remote server builds one per job) would recompile the whole
+        # program per job. The closure captures the ONNX executor fn and
+        # scalars only — never self or the weight tree (params are threaded
+        # through the jit as arguments).
+        from ..ops.fn_cache import memoized_model_fn
+
         n_fft, hop, dim_f = self.n_fft, self.hop_length, self.dim_f
-        win = self._window()
         net_dtype = jnp.bfloat16 if self.use_autocast else jnp.float32
+        onnx_fn = self._onnx_fn
+        denoise = bool(self.enable_denoise)
+        key = ("mdx", os.path.abspath(self.model_path), is_match_mix,
+               n_fft, hop, dim_f, denoise, jnp.dtype(net_dtype).name)
 
-        def fn(params, chunks):  # (B, 2, chunk) → (B, 1, 2, chunk)
-            spek = stft_real_packed(chunks, n_fft, hop, win, dim_f)
-            spek = spek.at[:, :, :3, :].set(0.0)  # low-bin suppression
-            # STFT/iSTFT stay fp32; the conv U-Net runs in the autocast dtype
-            # (weights follow the input dtype inside the ONNX executor).
-            spec_pred = (spek if is_match_mix
-                         else self._run_net(params, spek.astype(net_dtype))
-                         .astype(jnp.float32))
-            out = istft_real_packed(spec_pred, n_fft, hop, win)
-            out = out[..., : chunks.shape[-1]]
-            if out.shape[-1] < chunks.shape[-1]:
-                out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
-                              + [(0, chunks.shape[-1] - out.shape[-1])])
-            return out[:, None]
+        def _build():
+            win = hann_window(n_fft)
 
-        cache[is_match_mix] = fn
-        return fn
+            def run_net(params, spek):
+                # optional denoise double-pass (ref: mdx_separator.py:427-441)
+                if denoise:
+                    neg = onnx_fn(params, -spek)[0]
+                    pos = onnx_fn(params, spek)[0]
+                    return pos * 0.5 - neg * 0.5
+                return onnx_fn(params, spek)[0]
+
+            def fn(params, chunks):  # (B, 2, chunk) → (B, 1, 2, chunk)
+                spek = stft_real_packed(chunks, n_fft, hop, win, dim_f)
+                spek = spek.at[:, :, :3, :].set(0.0)  # low-bin suppression
+                # STFT/iSTFT stay fp32; the conv U-Net runs in the autocast
+                # dtype (weights follow the input dtype in the ONNX executor).
+                spec_pred = (spek if is_match_mix
+                             else run_net(params, spek.astype(net_dtype))
+                             .astype(jnp.float32))
+                out = istft_real_packed(spec_pred, n_fft, hop, win)
+                out = out[..., : chunks.shape[-1]]
+                if out.shape[-1] < chunks.shape[-1]:
+                    out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
+                                  + [(0, chunks.shape[-1] - out.shape[-1])])
+                return out[:, None]
+
+            return fn
+
+        return memoized_model_fn(key, _build)
 
     # --------------------------------------------------------------- demix
 

@@ -171,33 +171,41 @@ class MDXCSeparator(BaseSeparator):
         return int(inference.get("dim_t", self.segment_size))
 
     def _model_fn(self):
-        # Memoized: the demix scan jit-keys on this fn's identity (static
-        # arg), so rebuilding the closure per call would recompile per file.
-        cached = getattr(self, "_model_fn_cached", None)
-        if cached is not None:
-            return cached
+        # Process-level memo (ops/fn_cache.py): the demix scan jit-keys on
+        # this fn's identity (static arg). The key is the frozen model config
+        # + dtype, so every Separator instance loading the same model — e.g.
+        # the remote server's per-job instances — shares one fn object and
+        # one compiled program per shape. The closure must only capture
+        # cfg/dtype (never self or params).
+        from ..ops.fn_cache import memoized_model_fn
+
         cfg, dtype = self.model_cfg, self.compute_dtype
-        if self.is_roformer:
-            stereo = cfg.stereo
 
-            def fn(params, chunks):  # (B, C, chunk) -> (B, S, C, chunk)
-                x = chunks if stereo else chunks.reshape(-1, 1, chunks.shape[-1])
-                out = apply_roformer(params, cfg, x, compute_dtype=dtype)
-                if not stereo:
-                    out = out.reshape(chunks.shape[0], chunks.shape[1], -1, chunks.shape[-1])
-                    out = out.transpose(0, 2, 1, 3)
-                if out.shape[-1] < chunks.shape[-1]:
-                    out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
-                                  + [(0, chunks.shape[-1] - out.shape[-1])])
-                return out[..., : chunks.shape[-1]]
-        else:
-            from ..models.tfc_tdf import apply_tfc_tdf
+        def build():
+            if self.is_roformer:
+                stereo = cfg.stereo
 
-            def fn(params, chunks):
-                return apply_tfc_tdf(params, cfg, chunks, compute_dtype=dtype)
+                def fn(params, chunks):  # (B, C, chunk) -> (B, S, C, chunk)
+                    x = chunks if stereo else chunks.reshape(-1, 1, chunks.shape[-1])
+                    out = apply_roformer(params, cfg, x, compute_dtype=dtype)
+                    if not stereo:
+                        out = out.reshape(chunks.shape[0], chunks.shape[1], -1,
+                                          chunks.shape[-1])
+                        out = out.transpose(0, 2, 1, 3)
+                    if out.shape[-1] < chunks.shape[-1]:
+                        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1)
+                                      + [(0, chunks.shape[-1] - out.shape[-1])])
+                    return out[..., : chunks.shape[-1]]
+            else:
+                from ..models.tfc_tdf import apply_tfc_tdf
 
-        self._model_fn_cached = fn
-        return fn
+                def fn(params, chunks):
+                    return apply_tfc_tdf(params, cfg, chunks, compute_dtype=dtype)
+
+            return fn
+
+        return memoized_model_fn(
+            ("mdxc", self.is_roformer, cfg, jnp.dtype(dtype).name), build)
 
     def demix(self, mix: np.ndarray):
         """ref: mdxc_separator.py:257-468 semantics."""

@@ -106,24 +106,34 @@ class VRSeparator(BaseSeparator):
 
     def _predict_fn(self):
         """The un-jitted ``(params, (B, 2, bins, window)) -> (B, 2, bins, roi)``
-        mask network, cached so the shared engine's jit cache keys stay
-        stable across calls."""
+        mask network — memoized process-wide (ops/fn_cache.py) on the network
+        geometry so the tiled engine's jit cache keys stay stable across
+        calls AND across Separator instances (serving builds one per job)."""
         if self._jit_predict is None:
+            from ..ops.fn_cache import memoized_model_fn
+
             n_fft_bins = self.mp["bins"] * 2
-            if self.is_vr_51_model:
-                base = functools.partial(predict_mask_v51, n_fft_bins=n_fft_bins,
-                                         offset=self._offset)
-            else:
-                base = functools.partial(predict_mask_v5, n_fft_bins=n_fft_bins,
-                                         arch=self._arch_size, offset=self._offset)
-            if self.use_autocast:
-                # Net weights follow the input dtype (models/vr_nets.py), so a
-                # bf16 input runs the whole cascade in bf16; mask back in fp32.
-                def fn(params, x):
-                    return base(params, x.astype(jnp.bfloat16)).astype(jnp.float32)
-            else:
-                fn = base
-            self._jit_predict = fn
+            is_v51, offset = self.is_vr_51_model, self._offset
+            arch, autocast = self._arch_size, self.use_autocast
+
+            def _build():
+                if is_v51:
+                    base = functools.partial(predict_mask_v51,
+                                             n_fft_bins=n_fft_bins, offset=offset)
+                else:
+                    base = functools.partial(predict_mask_v5, n_fft_bins=n_fft_bins,
+                                             arch=arch, offset=offset)
+                if autocast:
+                    # Net weights follow the input dtype (models/vr_nets.py):
+                    # a bf16 input runs the cascade in bf16; mask back in fp32.
+                    def fn(params, x):
+                        return base(params, x.astype(jnp.bfloat16)).astype(jnp.float32)
+                else:
+                    fn = base
+                return fn
+
+            self._jit_predict = memoized_model_fn(
+                ("vr", is_v51, n_fft_bins, arch, offset, autocast), _build)
         return self._jit_predict
 
     # --------------------------------------------------------------- separate
