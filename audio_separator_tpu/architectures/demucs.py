@@ -71,9 +71,20 @@ class DemucsSeparator(BaseSeparator):
         elif segment is not None:
             models = [(cfg.__class__(**{**cfg.__dict__, "segment": float(segment)}), p)
                       for cfg, p in models]
-        # Device-resident weights once per model instance — a bag re-upload
-        # per separated file costs seconds/track at hundreds of MB of weights.
-        models = [(cfg, jax.device_put(p)) for cfg, p in models]
+        # Device-resident weights once per PROCESS (ops/fn_cache.py) — a bag
+        # re-upload per separated file or per serving job costs seconds/track
+        # at hundreds of MB of weights. Keyed per bag member index off the
+        # yaml's identity (members are immutable checksum-named downloads, so
+        # the yaml key is a sound proxy); the config-only overrides above
+        # don't touch the weight trees.
+        from ..ops.fn_cache import file_key, memoized_device_params
+
+        base_key = ("demucs-params",) + file_key(self.model_path)
+        models = [
+            (cfg, memoized_device_params(base_key + (i,),
+                                         lambda p=p: jax.device_put(p)))
+            for i, (cfg, p) in enumerate(models)
+        ]
         self._models_cache = (models, weights)
         return self._models_cache
 

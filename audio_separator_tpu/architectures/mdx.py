@@ -54,10 +54,16 @@ class MDXSeparator(BaseSeparator):
     def load_model(self):
         import jax
 
+        from ..ops.fn_cache import file_key, memoized_device_params
+
         fn, params, in_names, out_names = onnx_to_jax(self.model_path)
         self._onnx_fn = fn
-        # Device-resident weights: one transfer at load time.
-        self._onnx_params = jax.device_put(params)
+        # Device-resident weights, shared process-wide: one H2D transfer per
+        # checkpoint per process, not per Separator instance (serving builds
+        # one per job).
+        self._onnx_params = memoized_device_params(
+            ("mdx-params",) + file_key(self.model_path),
+            lambda: jax.device_put(params))
 
     # ------------------------------------------------------------- model fns
 

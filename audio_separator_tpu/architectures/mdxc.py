@@ -97,10 +97,16 @@ class MDXCSeparator(BaseSeparator):
 
             self.model_cfg = build_tfc_tdf_config(self.model_data)
             params = cached_convert(self.model_path, self.model_cfg, convert_tfc_tdf)
-        # Resident device copy in the compute dtype — one H2D transfer at load,
-        # not one per demix call.
-        self.params = jax.device_put(
-            jax.tree.map(lambda a: jnp.asarray(a, self.compute_dtype), params))
+        # Resident device copy in the compute dtype — one H2D transfer per
+        # checkpoint per PROCESS (ops/fn_cache.py), not one per Separator
+        # instance or demix call.
+        from ..ops.fn_cache import file_key, memoized_device_params
+
+        self.params = memoized_device_params(
+            ("mdxc-params", jnp.dtype(self.compute_dtype).name)
+            + file_key(self.model_path),
+            lambda: jax.device_put(
+                jax.tree.map(lambda a: jnp.asarray(a, self.compute_dtype), params)))
 
     # ----------------------------------------------------------------- inference
 

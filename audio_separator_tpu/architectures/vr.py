@@ -100,8 +100,14 @@ class VRSeparator(BaseSeparator):
         else:
             self._offset = 128
         self._arch_size = arch_size
-        sd = load_torch_state_dict(self.model_path)
-        self._params = jax.device_put(state_dict_to_tree(sd))
+        # Process-wide device-resident weights (ops/fn_cache.py): a cache hit
+        # skips both the torch checkpoint load and the H2D upload entirely.
+        from ..ops.fn_cache import file_key, memoized_device_params
+
+        self._params = memoized_device_params(
+            ("vr-params",) + file_key(self.model_path),
+            lambda: jax.device_put(state_dict_to_tree(
+                load_torch_state_dict(self.model_path))))
         self.logger.debug(f"VR model loaded: arch_size={arch_size}, v51={self.is_vr_51_model}")
 
     def _predict_fn(self):

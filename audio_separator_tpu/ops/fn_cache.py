@@ -26,26 +26,55 @@ from __future__ import annotations
 
 from collections import OrderedDict
 from threading import Lock
-from typing import Callable, Hashable
+from typing import Any, Callable, Hashable
 
 _MAX_ENTRIES = 32
 _cache: "OrderedDict[Hashable, Callable]" = OrderedDict()
 _lock = Lock()
 
 
-def memoized_model_fn(key: Hashable, builder: Callable[[], Callable]) -> Callable:
-    """Return the process-wide function for ``key``, building it on miss."""
+def _memoize(cache: OrderedDict, max_entries: int, key: Hashable,
+             builder: Callable[[], Any]) -> Any:
     with _lock:
-        fn = _cache.get(key)
-        if fn is not None:
-            _cache.move_to_end(key)
-            return fn
-    fn = builder()
+        hit = cache.get(key)
+        if hit is not None:
+            cache.move_to_end(key)
+            return hit
+    value = builder()
     with _lock:
-        existing = _cache.get(key)
+        existing = cache.get(key)
         if existing is not None:  # lost a race: keep the first identity
             return existing
-        _cache[key] = fn
-        while len(_cache) > _MAX_ENTRIES:
-            _cache.popitem(last=False)
-    return fn
+        cache[key] = value
+        while len(cache) > max_entries:
+            cache.popitem(last=False)
+    return value
+
+
+def memoized_model_fn(key: Hashable, builder: Callable[[], Callable]) -> Callable:
+    """Return the process-wide function for ``key``, building it on miss."""
+    return _memoize(_cache, _MAX_ENTRIES, key, builder)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident parameter cache. load_model device_puts the whole weight
+# tree; serving (a fresh Separator per job) re-shipped ~0.5 GB over the link
+# for every job of the same model. Keyed on (path, size, mtime) so an updated
+# checkpoint invalidates; small LRU bounds HBM held by idle models. Evicted
+# trees free as soon as no live separator references them.
+
+_MAX_PARAM_ENTRIES = 8  # a demucs bag alone holds 4 member trees
+_param_cache: "OrderedDict[Hashable, Any]" = OrderedDict()
+
+
+def file_key(path: str) -> Hashable:
+    """(abspath, size, mtime) — a cheap content identity for a checkpoint."""
+    import os
+
+    st = os.stat(path)
+    return (os.path.abspath(path), st.st_size, int(st.st_mtime))
+
+
+def memoized_device_params(key: Hashable, builder: Callable[[], Any]) -> Any:
+    """Process-wide device-resident weight tree for ``key``."""
+    return _memoize(_param_cache, _MAX_PARAM_ENTRIES, key, builder)

@@ -55,3 +55,30 @@ def test_separators_share_model_fn_identity(tmp_path):
     s1, s2 = load(), load()
     assert s1.model_instance is not s2.model_instance
     assert s1.model_instance._model_fn() is s2.model_instance._model_fn()
+
+
+def test_separators_share_device_params(tmp_path):
+    """Weights upload once per process for a given checkpoint — fresh
+    Separator instances reuse the device-resident tree."""
+    import logging
+    import os
+
+    import jax
+
+    from audio_separator_tpu.separator import Separator
+    from test_ensemble_e2e import _make_model
+
+    model_dir = str(tmp_path / "models")
+    os.makedirs(model_dir)
+    name = _make_model(model_dir, "devshare", seed=6)
+
+    def load():
+        sep = Separator(log_level=logging.WARNING, model_file_dir=model_dir,
+                        output_dir=str(tmp_path / "out"), output_format="WAV")
+        sep.load_model(name)
+        return sep
+
+    s1, s2 = load(), load()
+    leaves1 = jax.tree.leaves(s1.model_instance.params)
+    leaves2 = jax.tree.leaves(s2.model_instance.params)
+    assert all(a is b for a, b in zip(leaves1, leaves2))
