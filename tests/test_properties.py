@@ -1,0 +1,123 @@
+"""Property-based invariants (hypothesis) for the DSP core and demix engine.
+
+Shapes are drawn from small bounded sets: every distinct shape costs an
+XLA:CPU compile, so strategies sample geometry from a handful of values and
+put the randomness into signal content and length arithmetic instead.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+import jax.numpy as jnp
+
+from audio_separator_tpu.ops.demix import bucket_up, overlap_add_demix, window_positions
+from audio_separator_tpu.ops.resample import resample_poly_np
+from audio_separator_tpu.ops.stft import hamming_window, hann_window, istft, stft
+
+COMMON = dict(deadline=None, max_examples=20)
+
+
+# ---------------------------------------------------------------------------
+# STFT round trip: any length, the torch-compatible pair reconstructs.
+
+
+@settings(**COMMON)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    geometry=st.sampled_from([(256, 64), (256, 128), (512, 128)]),
+    length=st.integers(300, 2000),
+)
+def test_stft_istft_roundtrip(seed, geometry, length):
+    n_fft, hop = geometry
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((1, length)).astype(np.float32)
+    win = hann_window(n_fft)
+    spec = stft(jnp.asarray(x), n_fft, hop, win)
+    y = np.asarray(istft(spec, n_fft, hop, win, length=length))
+    np.testing.assert_allclose(y[0], x[0], atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Resampler: up then back down preserves a band-limited signal.
+
+
+@settings(**COMMON)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    rates=st.sampled_from([(44100, 48000), (44100, 32000), (44100, 22050)]),
+)
+def test_resample_roundtrip_preserves_bandlimited(seed, rates):
+    sr, sr2 = rates
+    rng = np.random.default_rng(seed)
+    # Band-limited: sum of tones well below the lower Nyquist.
+    t = np.arange(sr // 4) / sr
+    freqs = rng.uniform(100, min(sr, sr2) * 0.3, size=4)
+    x = np.sum([np.sin(2 * np.pi * f * t) for f in freqs], axis=0)[None]
+    x = (x / np.abs(x).max()).astype(np.float32)
+    y = resample_poly_np(resample_poly_np(x, sr, sr2), sr2, sr)
+    n = min(x.shape[1], y.shape[1]) - sr // 50  # ignore edge transients
+    lo = sr // 100
+    corr = np.corrcoef(x[0, lo:n], y[0, lo:n])[0, 1]
+    assert corr > 0.999, (rates, corr)
+
+
+# ---------------------------------------------------------------------------
+# Demix engine: with an identity model and full coverage, output == input for
+# ANY (length, chunk, step) combination — windowing, bucketing, batching,
+# tail clamping, pipelining and normalisation must all cancel exactly.
+
+
+def _identity(chunks):
+    return chunks[:, None]  # (B, C, L) -> (B, 1, C, L)
+
+
+@settings(deadline=None, max_examples=15)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    chunk=st.sampled_from([1024, 2048]),
+    step_frac=st.sampled_from([2, 3, 4]),
+    extra=st.integers(0, 3000),
+    pipeline=st.sampled_from([1, 3]),
+)
+def test_identity_model_reconstructs_exactly(seed, chunk, step_frac, extra, pipeline):
+    rng = np.random.default_rng(seed)
+    total = chunk + extra  # always >= one chunk
+    mix = rng.standard_normal((2, total)).astype(np.float32)
+    step = chunk // step_frac
+    # Hamming (nonzero at the edges) like the production MDXC path: a window
+    # that is zero at its endpoints (hann) leaves the first/last sample with
+    # zero total weight, which the engine maps to silence by contract.
+    window = np.asarray(hamming_window(chunk))
+    out = overlap_add_demix(_identity, mix, chunk, step, window, num_stems=1,
+                            batch_size=2, pipeline_segments=pipeline)
+    assert out.shape == (1, 2, total)
+    np.testing.assert_allclose(out[0], mix, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Window positions + buckets: structural invariants.
+
+
+@settings(**COMMON)
+@given(total=st.integers(1, 10**6), chunk=st.sampled_from([1024, 4096]),
+       step=st.integers(100, 5000))
+def test_window_positions_cover_track(total, chunk, step):
+    # Production invariant (every caller clamps, matching the reference's
+    # loop): step never exceeds the chunk.
+    step = min(step, chunk)
+    pos = window_positions(total, chunk, step)
+    assert pos[0] == 0 and (np.diff(pos) >= 0).all()
+    if total > chunk:
+        assert pos[-1] == total - chunk  # tail always reaches the end
+        assert (pos + chunk <= total).all()
+    # consecutive positions never leave a gap
+    assert (np.diff(pos) <= step).all()
+
+
+@settings(**COMMON)
+@given(n=st.integers(1, 10**6), quantum=st.sampled_from([1, 7, 64]))
+def test_bucket_up_bounds(n, quantum):
+    b = bucket_up(n, quantum)
+    assert b >= n and b % quantum == 0
+    # wasted work is bounded by ~50%
+    assert b <= max(2 * n, 4 * quantum)
