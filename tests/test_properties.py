@@ -121,3 +121,68 @@ def test_bucket_up_bounds(n, quantum):
     assert b >= n and b % quantum == 0
     # wasted work is bounded by ~50%
     assert b <= max(2 * n, 4 * quantum)
+
+
+# ---------------------------------------------------------------------------
+# Ensembler: algebraic invariants across all 11 algorithms.
+
+
+@settings(**COMMON)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    algorithm=st.sampled_from(
+        ["avg_wave", "median_wave", "min_wave", "max_wave", "avg_fft",
+         "median_fft", "min_fft", "max_fft", "uvr_max_spec", "uvr_min_spec",
+         "ensemble_wav"]),
+    n_members=st.integers(2, 4),
+)
+def test_ensemble_of_identical_members_is_identity(seed, algorithm, n_members):
+    """Every algorithm must return (approximately) the common waveform when
+    all members are identical — combination can't invent content."""
+    from audio_separator_tpu.separator.ensembler import Ensembler
+
+    rng = np.random.default_rng(seed)
+    wav = rng.standard_normal((2, 8192)).astype(np.float32) * 0.3
+    out = Ensembler(algorithm=algorithm).ensemble([wav.copy() for _ in range(n_members)])
+    assert out.shape == wav.shape
+    # fft/spec algorithms round-trip an STFT — allow its reconstruction error
+    np.testing.assert_allclose(out, wav, atol=2e-4)
+
+
+@settings(**COMMON)
+@given(seed=st.integers(0, 2**31 - 1), n_members=st.integers(2, 4))
+def test_wave_ensembles_respect_envelope(seed, n_members):
+    """min/max/avg_wave stay inside the members' pointwise envelope."""
+    from audio_separator_tpu.separator.ensembler import Ensembler
+
+    rng = np.random.default_rng(seed)
+    wavs = [rng.standard_normal((2, 4096)).astype(np.float32)
+            for _ in range(n_members)]
+    stack = np.stack(wavs)
+    avg = Ensembler(algorithm="avg_wave").ensemble(wavs)
+    lo, hi = stack.min(axis=0), stack.max(axis=0)
+    assert (avg >= lo - 1e-6).all() and (avg <= hi + 1e-6).all()
+
+
+# ---------------------------------------------------------------------------
+# WAV writer/reader: lossless-path round trip at random lengths/bit depths.
+
+
+@settings(**COMMON)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    length=st.integers(1, 50000),
+    bit_depth=st.sampled_from([16, 24, 32]),
+    channels=st.sampled_from([1, 2]),
+)
+def test_wav_roundtrip_any_length(seed, length, bit_depth, channels, tmp_path_factory):
+    from audio_separator_tpu.io import audio as audio_io
+
+    rng = np.random.default_rng(seed)
+    pcm = (rng.standard_normal((channels, length)) * 0.5).astype(np.float32)
+    pcm = np.clip(pcm, -1.0, 1.0)
+    path = str(tmp_path_factory.mktemp("wavprop") / "x.wav")
+    audio_io.save_audio(path, pcm, 44100, bit_depth=bit_depth)
+    back, sr = audio_io.load_audio(path)
+    assert sr == 44100 and back.shape == pcm.shape
+    np.testing.assert_allclose(back, pcm, atol=2.0 ** -(bit_depth - 2))
