@@ -186,3 +186,75 @@ def test_wav_roundtrip_any_length(seed, length, bit_depth, channels, tmp_path_fa
     back, sr = audio_io.load_audio(path)
     assert sr == 44100 and back.shape == pcm.shape
     np.testing.assert_allclose(back, pcm, atol=2.0 ** -(bit_depth - 2))
+
+
+# ---------------------------------------------------------------------------
+# RoFormer config normalizer: encoding-independence and idempotency
+# (counterpart of the reference's 2.4k-LoC validation subsystem contract).
+
+
+_ALIAS_CHOICES = {
+    "stft_n_fft": ["n_fft", "stft_n_fft"],
+    "stft_hop_length": ["hop_length", "stft_hop_length"],
+    "heads": ["heads", "n_heads", "num_heads"],
+    "dim_head": ["dim_head", "head_dim"],
+}
+
+
+@settings(**COMMON)
+@given(
+    alias_pick=st.tuples(*(st.sampled_from(v) for v in _ALIAS_CHOICES.values())),
+    as_string=st.booleans(),
+    stereo_repr=st.sampled_from([True, "true", "1", "yes", 1]),
+)
+def test_normalizer_is_encoding_independent(alias_pick, as_string, stereo_repr):
+    """Whatever alias names and value encodings (int vs numeric string vs
+    bool spellings) a YAML uses, normalisation lands the same canonical
+    typed dict — and is idempotent."""
+    from audio_separator_tpu.separator.roformer_config import (
+        normalize_roformer_params)
+
+    canonical_keys = list(_ALIAS_CHOICES)
+    values = [2048, 512, 8, 64]
+    cfg = {}
+    for key, alias, value in zip(canonical_keys, alias_pick, values):
+        cfg[alias] = str(value) if as_string else value
+    cfg["stereo"] = stereo_repr
+    cfg["dim"] = "384" if as_string else 384
+
+    out = normalize_roformer_params(cfg)
+    for key, value in zip(canonical_keys, values):
+        assert out[key] == value and isinstance(out[key], int), (key, out)
+    assert out["stereo"] is True
+    assert out["dim"] == 384
+    assert normalize_roformer_params(out) == out  # idempotent
+
+
+@settings(**COMMON)
+@given(hop_alias_value=st.integers(1, 10000))
+def test_canonical_key_beats_alias(hop_alias_value):
+    from audio_separator_tpu.separator.roformer_config import (
+        normalize_roformer_params)
+
+    out = normalize_roformer_params(
+        {"hop_length": hop_alias_value, "stft_hop_length": 441})
+    assert out["stft_hop_length"] == 441
+
+
+@settings(**COMMON)
+@given(
+    freqs=st.lists(st.integers(1, 256), min_size=2, max_size=8),
+    encoding=st.sampled_from(["list", "tuple", "str", "paren_str"]),
+)
+def test_freqs_per_bands_encodings(freqs, encoding):
+    from audio_separator_tpu.separator.roformer_config import (
+        normalize_roformer_params)
+
+    value = {
+        "list": list(freqs),
+        "tuple": tuple(freqs),
+        "str": ",".join(map(str, freqs)),
+        "paren_str": "(" + ", ".join(map(str, freqs)) + ")",
+    }[encoding]
+    out = normalize_roformer_params({"freqs_per_bands": value})
+    assert out["freqs_per_bands"] == tuple(freqs), (encoding, out)
