@@ -68,7 +68,7 @@ def window_positions(total: int, chunk: int, step: int) -> np.ndarray:
 def _demix_scan(
     model_fn: Callable,
     model_params,  # pytree threaded to model_fn as a traced argument
-    mix: jnp.ndarray,  # (C, T_buf) f32 — or int16 with mix_inv_scale set
+    mix: jnp.ndarray,  # (C, T_buf) f32 — or int16/int8 with mix_inv_scale set
     mix_inv_scale: jnp.ndarray,  # () f32 dequant factor (1.0 for f32 mix)
     positions: jnp.ndarray,  # (N,) int32, N % batch_size == 0
     windows: jnp.ndarray,  # (N, chunk) dense rows OR (chunk,) shared window
@@ -88,7 +88,7 @@ def _demix_scan(
     n = positions.shape[0]
     nb = n // batch_size
     shared_window = windows.ndim == 1
-    quantized_mix = mix.dtype == jnp.int16
+    quantized_mix = mix.dtype in (jnp.int16, jnp.int8)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -151,6 +151,26 @@ def _demix_scan(
     return jnp.round(acc * scale).astype(jnp.int16), scale
 
 
+def _quantize_upload(mix_buf: np.ndarray, quantized_upload: bool | str):
+    """Host-side mix quantisation for the H2D upload.
+
+    ``True``/``"int16"`` ships scaled int16 (half the float bytes, ~90 dB
+    SNR); ``"int8"`` ships scaled int8 (quarter the bytes, ~48 dB SNR vs
+    peak — opt-in: unlike the stem *fetch*, this quantises the model's
+    input, so keep it for bandwidth-starved links where the measured SDR
+    impact (quant noise ≫30 dB below separation error) is acceptable).
+    Returns ``(mix_dev, inv_scale)``; the scan dequantises on device.
+    """
+    if not quantized_upload:
+        return mix_buf, np.float32(1.0)
+    peak = max(float(np.max(np.abs(mix_buf))), 1e-9)
+    if quantized_upload == "int8":
+        up_scale = 120.0 / peak
+        return np.round(mix_buf * up_scale).astype(np.int8), np.float32(1.0 / up_scale)
+    up_scale = 32000.0 / peak
+    return np.round(mix_buf * up_scale).astype(np.int16), np.float32(1.0 / up_scale)
+
+
 def overlap_add_demix(
     model_fn: Callable,
     mix: np.ndarray,
@@ -167,7 +187,7 @@ def overlap_add_demix(
     data_axis: str = "data",
     bucket: bool = True,
     pipeline_segments: int | None = None,
-    quantized_upload: bool | None = None,
+    quantized_upload: bool | str | None = None,
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
 
@@ -196,8 +216,11 @@ def overlap_add_demix(
     overlap normalisation happens on host from unnormalised accumulators and
     a host-computed weight divider). On bandwidth-starved links the transfer
     time hides almost entirely behind compute. ``quantized_upload`` ships the
-    mix as scaled int16 (half the host→device bytes; dequantised on device
-    inside the scan, ~90 dB SNR).
+    mix as scaled int16 (``True``: half the host→device bytes; dequantised on
+    device inside the scan, ~90 dB SNR) or scaled int8 (``"int8"``: quarter
+    the bytes, ~48 dB SNR — quantises the model's *input*, so opt-in for
+    bandwidth-starved links; ``AUDSEP_LINK_QUANT=int8`` deliberately keeps
+    the upload at int16 and only drops the fetch to int8).
 
     Always pass the weight pytree via ``model_params`` rather than closing
     over device arrays: closed-over arrays are baked into the jaxpr as
@@ -298,14 +321,7 @@ def overlap_add_demix(
         windows_dev = np.zeros((n_pad, chunk), dtype=np.float32)
         windows_dev[:n] = window
 
-    if quantized_upload:
-        peak = max(float(np.max(np.abs(mix_buf))), 1e-9)
-        up_scale = 32000.0 / peak
-        mix_dev = np.round(mix_buf * up_scale).astype(np.int16)
-        inv_scale = np.float32(1.0 / up_scale)
-    else:
-        mix_dev = mix_buf
-        inv_scale = np.float32(1.0)
+    mix_dev, inv_scale = _quantize_upload(mix_buf, quantized_upload)
 
     acc, scale = _demix_scan(
         model_fn,
@@ -439,7 +455,7 @@ def _pipelined_demix(
     num_stems: int,
     batch_size: int,
     quantized_transfer: bool | str,
-    quantized_upload: bool,
+    quantized_upload: bool | str,
     model_params,
     n_segments: int,
     bucket: bool,
@@ -471,14 +487,8 @@ def _pipelined_demix(
     pad_to = max(t_full, max(int(pos_sorted[g[0]]) for g in groups) + seg_buf)
     mix_buf = np.zeros((c, pad_to), dtype=np.float32)
     mix_buf[:, :total] = mix
-    if quantized_upload:
-        peak = max(float(np.max(np.abs(mix_buf))), 1e-9)
-        up_scale = 32000.0 / peak
-        mix_host = np.round(mix_buf * up_scale).astype(np.int16)
-        inv_scale = jnp.asarray(np.float32(1.0 / up_scale))
-    else:
-        mix_host = mix_buf
-        inv_scale = jnp.asarray(np.float32(1.0))
+    mix_host, inv_scale_np = _quantize_upload(mix_buf, quantized_upload)
+    inv_scale = jnp.asarray(inv_scale_np)
 
     # Quantized fetches are normalised ON DEVICE by the segment's own window
     # sum before quantisation, then re-scaled on host by that (statically

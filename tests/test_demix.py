@@ -255,6 +255,27 @@ def test_demix_int8_transfer_within_tolerance():
         assert err > 1e-6, "int8 quantisation appears to be a no-op"
 
 
+def test_demix_int8_upload_within_tolerance():
+    """Opt-in int8 mix upload: quarter the H2D bytes; quantises the model's
+    INPUT, so the error bound is the input step (peak/120) propagated through
+    the (linear, bounded-gain) test model rather than an output-side step."""
+    rng = np.random.default_rng(19)
+    mix = rng.standard_normal((2, 20000)).astype(np.float32)
+    chunk, step = 2048, 1500
+    window = np.asarray(hamming_window(chunk))
+    base = overlap_add_demix(_model, mix, chunk, step, window,
+                             num_stems=2, batch_size=2)
+    peak = np.abs(base).max()
+    for k in (1, 3):  # single-scan and pipelined paths
+        q = overlap_add_demix(_model, mix, chunk, step, window,
+                              num_stems=2, batch_size=2, pipeline_segments=k,
+                              quantized_upload="int8",
+                              quantized_transfer="int8")
+        err = np.abs(q - base).max()
+        assert err < peak / 40, (k, err, peak)
+        assert err > 1e-6, "int8 upload quantisation appears to be a no-op"
+
+
 def test_link_quant_env_policy(monkeypatch):
     """AUDSEP_LINK_QUANT drives default transfer quantisation for callers
     that don't choose (production separations on bandwidth-starved hosts)."""

@@ -80,12 +80,12 @@ def main():
     mix = (rng.standard_normal((2, int(seconds * sr))) * 0.1).astype(np.float32)
     window = np.asarray(hamming_window(chunk))
 
-    def e2e(batch_size, depth, d2h, passes=3):
+    def e2e(batch_size, depth, d2h, passes=3, upload=True):
         def run():
             return overlap_add_demix(
                 model_fn, mix, chunk, step, window, num_stems=cfg.num_stems,
                 batch_size=batch_size, model_params=params,
-                quantized_transfer=d2h, quantized_upload=True,
+                quantized_transfer=d2h, quantized_upload=upload,
                 pipeline_segments=depth)
 
         t0 = time.time()
@@ -103,8 +103,10 @@ def main():
     # (pipeline_segments=None → the engine's auto formula), so the program
     # shapes — and thus the persistent-cache entries — match the driver's
     # bench run. A pinned depth would compile a different seg_n/seg_buf.
-    e2e(4, None, True)
-    e2e(4, None, "int8")  # the AUDSEP_D2H=int8 A/B
+    # Order matches bench.py's stage-2 A/B (cheapest link bytes first).
+    e2e(4, None, "int8", upload="int8")  # bench combo "int8x2"
+    e2e(4, None, "int8")                 # bench combo "int8"
+    e2e(4, None, True)                   # bench combo "int16"
 
     if wide_grid:
         for b, d, q in ((8, 4, True), (8, 4, "int8"), (4, 8, True),

@@ -54,16 +54,18 @@ def main():
     mix = (rng.standard_normal((2, int(seconds * sr))) * 0.1).astype(np.float32)
     window = np.asarray(hamming_window(chunk))
 
-    # (batch, pipeline_depth, d2h) grid; (4, 4, int16) is the bench default.
-    grid = [(4, 4, True), (4, 4, "int8"), (4, 6, True), (4, 8, True),
-            (8, 4, True), (8, 4, "int8"), (8, 2, True), (2, 8, True),
-            (6, 4, True)]
-    for batch, depth, d2h in grid:
+    # (batch, pipeline_depth, d2h_fetch, h2d_upload) grid;
+    # (4, 4, int16, int16) is the bench default.
+    grid = [(4, 4, True, True), (4, 4, "int8", True), (4, 4, "int8", "int8"),
+            (4, 6, True, True), (4, 8, True, True),
+            (8, 4, True, True), (8, 4, "int8", "int8"), (8, 2, True, True),
+            (2, 8, True, True), (6, 4, True, True)]
+    for batch, depth, d2h, h2d in grid:
         def run():
             return overlap_add_demix(
                 model_fn, mix, chunk, step, window, num_stems=cfg.num_stems,
                 batch_size=batch, model_params=params,
-                quantized_transfer=d2h, quantized_upload=True,
+                quantized_transfer=d2h, quantized_upload=h2d,
                 pipeline_segments=depth)
 
         t0 = time.time()
@@ -75,8 +77,9 @@ def main():
             t0 = time.time()
             run()
             best = min(best, time.time() - t0)
-        print(f"batch={batch} depth={depth} d2h={d2h}: warm={warm:6.1f}s "
-              f"best={best:6.2f}s rtf={seconds / best:6.1f}x", flush=True)
+        print(f"batch={batch} depth={depth} d2h={d2h} h2d={h2d}: "
+              f"warm={warm:6.1f}s best={best:6.2f}s "
+              f"rtf={seconds / best:6.1f}x", flush=True)
 
 
 if __name__ == "__main__":
