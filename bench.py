@@ -293,21 +293,24 @@ def main():
     best_mode = None
     passes = 0
     warmed = {}
+    last_warm = None  # most recent warmup time — the current regime's signal
     pass_est = None  # latest measured-pass time; warmups are NOT predictive
     for name, fetch, upload in d2h_modes:
         # A warmup is one-off (cache load, first-touch host buffers) — keep
         # budget for at least one measured pass of what's already warm. And
-        # if the first warmup ran into a degraded link regime (healthy warm
+        # if the LATEST warmup ran into a degraded link regime (healthy warm
         # warmups are ~35-40 s), stop warming variants: spend the budget on
-        # measured passes of the warm combo instead — regimes recover on
+        # measured passes of what's already warm instead — regimes recover on
         # minute scales, so more passes = more chances at a healthy number.
-        if warmed and (min(warmed.values()) > 100
+        # (Gating on the most recent warmup, not the minimum: a healthy first
+        # warmup must not green-light warming into a later degraded regime.)
+        if warmed and (last_warm > 100
                        or remaining() < 1.2 * min(warmed.values()) + 30):
             break
         t0 = time.time()
         out = run(fetch, upload)  # compile the exact shape measured below
         warm_s = time.time() - t0
-        warmed[name] = warm_s
+        warmed[name] = last_warm = warm_s
         _mark(f"stage-2 warmup[{name}] done ({warm_s:.1f}s)")
         assert np.isfinite(out).all()
     # Best of up to six measured passes within budget: the tethered link's
@@ -318,6 +321,7 @@ def main():
     # regime is several times a pass; gating on it starves the measurement
     # — observed live: 189 s warmup, 0 passes, a warmup-only record).
     modes = [m for m in d2h_modes if m[0] in warmed]
+    best_per_mode = {}  # per-combo best pass time: keeps the headline honest
     for i in range(int(os.environ.get("BENCH_PASSES", 6))):
         if remaining() < (20 if pass_est is None else 1.3 * pass_est + 10):
             break
@@ -326,6 +330,7 @@ def main():
         run(fetch, upload)
         dt = time.time() - t0
         pass_est = dt
+        best_per_mode[name] = min(dt, best_per_mode.get(name, float("inf")))
         if dt < elapsed:
             elapsed, best_mode = dt, name
         passes += 1
@@ -336,9 +341,15 @@ def main():
         # link outage, not the engine; stage 1's record stands.
         _mark("stage-2: no measured pass within budget; keeping stage-1 record")
         return
+    # rtf_per_mode makes cross-round comparisons independent of which combo
+    # won: int16 is the lossless-equivalent baseline (~90 dB SNR both ways),
+    # int8x2 quantises the model's input (~48 dB SNR) so its RTF is only
+    # comparable against itself.
     _emit(seconds / elapsed, "e2e_demix",
           {"track_s": seconds, "passes": passes, "d2h": best_mode,
-           "model_only_rtf": round(rtf_model, 2)})
+           "model_only_rtf": round(rtf_model, 2),
+           "rtf_per_mode": {k: round(seconds / v, 2)
+                            for k, v in sorted(best_per_mode.items())}})
 
 
 if __name__ == "__main__":

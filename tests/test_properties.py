@@ -30,7 +30,8 @@ COMMON = dict(deadline=None, max_examples=20)
 # Hypothesis-discovered: at this length the final frame's overlap
 # normalisation divides by a small window sum, amplifying fp32 rounding to
 # ~2.9e-5 (torch.istft shows 1.7e-5 at the same sample) — a tolerance
-# calibration, not a reconstruction bug.
+# calibration, not a reconstruction bug. Bound kept tight (5e-5, <2x the
+# worst observed error) so genuine reconstruction regressions still fail.
 @example(seed=0, geometry=(256, 128), length=379)
 def test_stft_istft_roundtrip(seed, geometry, length):
     n_fft, hop = geometry
@@ -39,7 +40,7 @@ def test_stft_istft_roundtrip(seed, geometry, length):
     win = hann_window(n_fft)
     spec = stft(jnp.asarray(x), n_fft, hop, win)
     y = np.asarray(istft(spec, n_fft, hop, win, length=length))
-    np.testing.assert_allclose(y[0], x[0], atol=1e-4)
+    np.testing.assert_allclose(y[0], x[0], atol=5e-5)
 
 
 # ---------------------------------------------------------------------------
