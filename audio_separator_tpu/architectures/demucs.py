@@ -49,7 +49,10 @@ class DemucsSeparator(BaseSeparator):
         self.shifts = arch_config.get("shifts", 2)
         self.overlap = arch_config.get("overlap", 0.25)
         self.segments_enabled = arch_config.get("segments_enabled", True)
-        self.batch_size = int(arch_config.get("batch_size", 1) or 1)
+        # Batch 4 windows per scan step like the other architectures: htdemucs
+        # per-chunk forward time is nearly flat in batch on the MXU, so fewer,
+        # larger dispatches win (same rationale as bench.py's flagship B=4).
+        self.batch_size = int(arch_config.get("batch_size", 4) or 4)
         self.compute_dtype = jnp.float32  # demucs is precision-sensitive
         self._models_cache = None  # (models_with_device_params, weights)
 
@@ -144,30 +147,102 @@ class DemucsSeparator(BaseSeparator):
         (ref: apply.py:200-260)."""
         length = mix.shape[-1]
         n_sources = len(cfg.sources)
-        if self.shifts:
-            max_shift = int(0.5 * cfg.samplerate)
-            padded = np.pad(mix, ((0, 0), (max_shift, max_shift)))
-            out = np.zeros((n_sources, 2, length), dtype=np.float32)
-            for _ in range(self.shifts):
-                offset = int(rng.integers(0, max_shift + 1))
-                shifted = padded[:, offset : offset + length + max_shift]
-                shifted_out = self._apply_split(cfg, params, shifted)
-                out += shifted_out[..., max_shift - offset :][..., :length]
-            return out / self.shifts
-        return self._apply_split(cfg, params, mix)
+        if not self.shifts:
+            return self._apply_split(cfg, params, mix)
+        max_shift = int(0.5 * cfg.samplerate)
+        offsets = [int(rng.integers(0, max_shift + 1))
+                   for _ in range(self.shifts)]
+        if cfg.use_train_segment and self.segments_enabled:
+            return self._apply_shifts_batched(cfg, params, mix, offsets,
+                                              max_shift)
+        # v3 exact-length path / direct eval: chunk shapes differ per shift
+        # position, so shifts stay sequential passes there.
+        padded = np.pad(mix, ((0, 0), (max_shift, max_shift)))
+        out = np.zeros((n_sources, 2, length), dtype=np.float32)
+        for offset in offsets:
+            shifted = padded[:, offset : offset + length + max_shift]
+            shifted_out = self._apply_split(cfg, params, shifted)
+            out += shifted_out[..., max_shift - offset :][..., :length]
+        return out / self.shifts
 
-    def _apply_split(self, cfg, params, mix: np.ndarray) -> np.ndarray:
+    def _train_segment_plan(self, cfg, track_len: int):
+        """Window plan for the use_train_segment split (ref: apply.py:215-250):
+        triangular transition weights, centred context for tail chunks
+        (TensorChunk.padded semantics), per-position weight rows and the
+        overlap divider — all relative to a buffer with ``pad_lead`` leading
+        samples and room for the widest centred tail."""
+        segment = cfg.training_length
+        stride = int((1 - self.overlap) * segment)
+        # triangular transition weight (ref: apply.py:226-230)
+        tri = np.concatenate([np.arange(1, segment // 2 + 1),
+                              np.arange(segment - segment // 2, 0, -1)]
+                             ).astype(np.float32)
+        tri = tri / tri.max()
+        pad_lead = segment  # room for centred context of tail chunks
+        span = pad_lead + track_len + pad_lead + segment
+        positions, rows = [], []
+        divider = np.zeros(span, dtype=np.float32)
+        for offset in range(0, track_len, stride):
+            chunk_len = min(segment, track_len - offset)
+            delta = segment - chunk_len
+            start = offset - delta // 2  # centred context (TensorChunk.padded)
+            row = np.zeros(segment, dtype=np.float32)
+            row[delta // 2 : delta // 2 + chunk_len] = tri[:chunk_len]
+            positions.append(pad_lead + start)
+            rows.append(row)
+            divider[pad_lead + offset : pad_lead + offset + chunk_len] += tri[:chunk_len]
+        return (segment, stride, pad_lead, span,
+                np.asarray(positions, dtype=np.int32), np.stack(rows),
+                np.maximum(divider, 1e-10))
+
+    def _apply_shifts_batched(self, cfg, params, mix: np.ndarray,
+                              offsets, max_shift: int) -> np.ndarray:
+        """Shift-trick TTA as ONE engine call (SURVEY §2.8: shifts become a
+        batch dim): each shift's windows gather from and accumulate into its
+        own disjoint region of a single concatenated buffer, so all
+        shifts × windows stream through one scanned device program — shared
+        compile shape, full window batching, transfer pipelining across the
+        whole set — instead of the reference's sequential per-shift passes
+        (ref: apply.py:202-214). Per-shift overlap normalisation is exact:
+        the regions are disjoint, so the concatenated divider normalises
+        each shift by its own window sum before the host aligns + averages."""
         length = mix.shape[-1]
         n_sources = len(cfg.sources)
-        training_len = cfg.training_length
-        apply = apply_hdemucs if cfg.arch == "hdemucs" else apply_htdemucs
+        track_len = length + max_shift  # every shift sees this many samples
+        (segment, stride, pad_lead, span, rel_pos, rows,
+         div_one) = self._train_segment_plan(cfg, track_len)
+        padded = np.pad(mix, ((0, 0), (max_shift, max_shift)))
+        n_shifts = len(offsets)
+        buf = np.zeros((2, span * n_shifts), dtype=np.float32)
+        divider = np.ones(span * n_shifts, dtype=np.float32)
+        positions = np.concatenate(
+            [rel_pos + s * span for s in range(n_shifts)])
+        all_rows = np.tile(rows, (n_shifts, 1))
+        for s, offset in enumerate(offsets):
+            buf[:, s * span + pad_lead : s * span + pad_lead + track_len] = \
+                padded[:, offset : offset + track_len]
+            divider[s * span : (s + 1) * span] = div_one
 
-        # Process-level memo (ops/fn_cache.py) keyed on the frozen sub-model
-        # config + dtype: the demix scan jit-keys on model_fn's identity, so
-        # a fresh closure per call (per file, per bag model, per shift — or
-        # per serving job's fresh Separator) would recompile each time.
+        out_big = overlap_add_demix(
+            self._model_fn(cfg), buf, segment, stride, all_rows,
+            num_stems=n_sources, batch_size=self.batch_size,
+            positions=positions.astype(np.int32), divider=divider,
+            model_params=params, mesh=getattr(self, "mesh", None))
+
+        out = np.zeros((n_sources, 2, length), dtype=np.float32)
+        for s, offset in enumerate(offsets):
+            seg = out_big[..., s * span + pad_lead : s * span + pad_lead + track_len]
+            out += seg[..., max_shift - offset :][..., :length]
+        return out / n_shifts
+
+    def _model_fn(self, cfg):
+        """Process-level memo (ops/fn_cache.py) keyed on the frozen sub-model
+        config + dtype: the demix scan jit-keys on model_fn's identity, so
+        a fresh closure per call (per file, per bag model, per shift — or
+        per serving job's fresh Separator) would recompile each time."""
         from ..ops.fn_cache import memoized_model_fn
 
+        apply = apply_hdemucs if cfg.arch == "hdemucs" else apply_htdemucs
         compute_dtype = self.compute_dtype
 
         def _build():
@@ -176,8 +251,15 @@ class DemucsSeparator(BaseSeparator):
 
             return model_fn
 
-        model_fn = memoized_model_fn(
+        return memoized_model_fn(
             ("demucs", cfg, jnp.dtype(compute_dtype).name), _build)
+
+    def _apply_split(self, cfg, params, mix: np.ndarray) -> np.ndarray:
+        length = mix.shape[-1]
+        n_sources = len(cfg.sources)
+        training_len = cfg.training_length
+        apply = apply_hdemucs if cfg.arch == "hdemucs" else apply_htdemucs
+        model_fn = self._model_fn(cfg)
 
         if not self.segments_enabled:
             # direct eval on the full (padded) track
@@ -227,32 +309,15 @@ class DemucsSeparator(BaseSeparator):
                 sum_w[o:] += tri_full[:chunk_len]
             return out / np.maximum(sum_w, 1e-10)
 
-        # triangular transition weight (ref: apply.py:226-230)
-        tri = np.concatenate([np.arange(1, segment // 2 + 1),
-                              np.arange(segment - segment // 2, 0, -1)]).astype(np.float32)
-        tri = tri / tri.max()
-
-        # Build per-offset gather positions + weight rows over a padded buffer.
-        pad_lead = segment  # enough room for centred context of tail chunks
-        buf = np.pad(mix, ((0, 0), (pad_lead, pad_lead + segment)))
-        positions, rows = [], []
-        divider = np.zeros(buf.shape[-1], dtype=np.float32)
-        for offset in offsets:
-            chunk_len = min(segment, length - offset)
-            delta = segment - chunk_len
-            start = offset - delta // 2  # centred context (TensorChunk.padded)
-            row = np.zeros(segment, dtype=np.float32)
-            row[delta // 2 : delta // 2 + chunk_len] = tri[:chunk_len]
-            positions.append(pad_lead + start)
-            rows.append(row)
-            divider[pad_lead + offset : pad_lead + offset + chunk_len] += tri[:chunk_len]
-        divider = np.maximum(divider, 1e-10)
+        (segment, stride, pad_lead, span, positions, rows,
+         divider) = self._train_segment_plan(cfg, length)
+        buf = np.zeros((2, span), dtype=np.float32)
+        buf[:, pad_lead : pad_lead + length] = mix
 
         out = overlap_add_demix(
-            model_fn, buf, segment, stride, np.stack(rows),
+            model_fn, buf, segment, stride, rows,
             num_stems=n_sources, batch_size=self.batch_size,
-            positions=np.asarray(positions, dtype=np.int32),
-            divider=divider,
+            positions=positions, divider=divider,
             model_params=params, mesh=getattr(self, 'mesh', None),
         )
         return out[..., pad_lead : pad_lead + length]

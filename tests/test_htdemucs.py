@@ -300,3 +300,23 @@ def test_demucs_shift_trick(oracle_pair):
     # same model content, shifted+averaged: strong correlation with direct
     corr = np.corrcoef(tta.ravel(), base.ravel())[0, 1]
     assert corr > 0.8, corr
+
+    # The batched single-call path must equal the sequential per-shift
+    # reference loop exactly (same shift offsets): per-shift regions are
+    # disjoint, so normalisation and alignment are sample-identical up to
+    # engine batching order.
+    sep = build(2)
+    max_shift = int(0.5 * cfg.samplerate)
+    offsets = [int(np.random.default_rng(0).integers(0, max_shift + 1))
+               for _ in range(2)]
+    # recompute offsets the way _apply_one draws them (two draws, one rng)
+    rng0 = np.random.default_rng(0)
+    offsets = [int(rng0.integers(0, max_shift + 1)) for _ in range(2)]
+    padded = np.pad(mix, ((0, 0), (max_shift, max_shift)))
+    want = np.zeros_like(base)
+    for offset in offsets:
+        shifted = padded[:, offset : offset + mix.shape[-1] + max_shift]
+        s_out = sep._apply_split(cfg, params, shifted)
+        want += s_out[..., max_shift - offset :][..., : mix.shape[-1]]
+    want /= 2
+    np.testing.assert_allclose(tta, want, atol=2e-5)
