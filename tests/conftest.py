@@ -114,6 +114,12 @@ _SLOW_TESTS = {
     "test_warmup_compiles_without_writing_outputs",
     "test_warmup_covers_ensemble_loads",
     "test_sharded_training_matches_and_keeps_layout",
+    # reference-pipeline parity tier (real ref loop code as oracle)
+    "test_bs_roformer_pipeline_parity",
+    "test_mel_roformer_pipeline_parity",
+    "test_vr_pipeline_parity",
+    "test_vr_pipeline_parity_tta_postprocess",
+    "test_htdemucs_pipeline_parity",
 }
 
 

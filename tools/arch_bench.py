@@ -1,0 +1,374 @@
+#!/usr/bin/env python
+"""Per-architecture on-chip RTF records at production geometry.
+
+BASELINE.md names five benchmark configs; bench.py measures the flagship
+BS-RoFormer. This tool records the other four on the real TPU chip with
+synthetic weights at REAL model shapes, one process for all configs (a chip
+claim can lag minutes between processes on the tethered relay):
+
+  mdx_inst_hq3    Conv-TDF ONNX at Inst-HQ3 STFT geometry (n_fft 6144,
+                  dim_f 2560, segment 256, hop 1024) through MDXSeparator's
+                  full demix (primary + match-mix secondary pass)
+  vr_4band_hp2    5_HP-Karaoke-class VR: CascadedASPPNet hp2 capacity over
+                  the real 4band_v2 multiband chain, window 512
+  htdemucs        real-shape HTDemucs (channels 48, nfft 4096, depth 4,
+                  t_layers 5), split overlap-add, shifts=2; also A/Bs the
+                  batched single-call shift path vs sequential per-shift
+                  passes (VERDICT r2 item 3)
+  ensemble_batch  2-model RoFormer-class ensemble (avg_wave) and a 3-track
+                  batch-folder steady state on the flagship
+
+Writes BENCH_ARCHES.json incrementally (a stall keeps completed configs).
+
+Usage: python tools/arch_bench.py [track_seconds] [--configs a,b] [--passes N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+OUT_PATH = os.path.join(REPO, "BENCH_ARCHES.json")
+SR = 44100
+
+
+def _mark(msg):
+    print(f"[arch-bench +{time.time() - T0:6.1f}s] {msg}", flush=True)
+
+
+T0 = time.time()
+
+
+def _write(records):
+    with open(OUT_PATH, "w") as f:
+        json.dump(records, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def _measure(fn, warm: bool, passes: int):
+    """One warmup (compile) + best-of-N measured passes."""
+    if warm:
+        t0 = time.time()
+        fn()
+        warm_s = time.time() - t0
+    else:
+        warm_s = 0.0
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best, warm_s
+
+
+def _synth_mix(seconds, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((2, int(seconds * SR))) * 0.1).astype("float32")
+
+
+# ---------------------------------------------------------------------------
+
+
+def bench_mdx(tmp, mix, passes):
+    import logging
+
+    import numpy as np
+    import torch
+
+    from parity_cases import ScalableConvTDF
+    from audio_separator_tpu.architectures.mdx import MDXSeparator
+
+    torch.manual_seed(0)
+    dim_f, segment = 2560, 256
+    model = ScalableConvTDF(dim_f, channels=24, scales=3).eval()
+    onnx_path = os.path.join(tmp, "UVR_bench_hq3.onnx")
+    try:
+        from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+        onnx_proto_utils._add_onnxscript_fn = \
+            lambda model_bytes, custom_opsets: model_bytes
+    except ImportError:
+        pass
+    _mark("mdx: exporting HQ3-geometry ONNX (one torch trace forward)")
+    torch.onnx.export(model, torch.randn(1, 4, dim_f, segment), onnx_path,
+                      input_names=["input"], output_names=["output"],
+                      dynamo=False)
+    sep = MDXSeparator(
+        common_config={
+            "logger": logging.getLogger("bench"), "model_name": "bench_hq3",
+            "model_path": onnx_path,
+            "model_data": {"compensate": 1.022, "mdx_dim_f_set": dim_f,
+                           "mdx_dim_t_set": 8, "mdx_n_fft_scale_set": 6144,
+                           "primary_stem": "Instrumental"},
+            "output_dir": tmp, "output_format": "WAV",
+            "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+            "sample_rate": SR},
+        arch_config={"segment_size": segment, "overlap": 0.25,
+                     "batch_size": 4, "hop_length": 1024,
+                     "enable_denoise": False})
+
+    def run():
+        primary = sep.demix(mix)                      # model pass
+        raw = sep.demix(mix, is_match_mix=True)       # secondary match pass
+        assert np.isfinite(primary).all() and np.isfinite(raw).all()
+
+    best, warm = _measure(run, True, passes)
+    n_params = sum(p.numel() for p in model.parameters())
+    return {"rtf": round(mix.shape[-1] / SR / best, 2),
+            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
+            "geometry": {"n_fft": 6144, "dim_f": dim_f, "segment": segment,
+                         "hop": 1024, "params_m": round(n_params / 1e6, 1)},
+            "note": "full separate-equivalent: primary + match-mix passes"}
+
+
+def bench_vr(tmp, mix, passes):
+    import logging
+
+    import numpy as np
+    import jax
+
+    from parity_cases import _randomize_with_buffers, _write_wav
+    from ref_pipeline import load_ref_pipeline_module
+    from audio_separator_tpu.architectures.vr import VRSeparator
+    from audio_separator_tpu.models.vr_nets import state_dict_to_tree
+
+    nets_mod = load_ref_pipeline_module("separator.uvr_lib_v5.vr_network.nets")
+    arch_size = 33966
+    n_bins = 672
+    import torch
+
+    net = _randomize_with_buffers(
+        nets_mod.determine_model_capacity(n_bins * 2, arch_size), seed=1).eval()
+    ckpt = os.path.join(tmp, "bench_5hp.pth")
+    torch.save(net.state_dict(), ckpt)
+    wav_path = _write_wav(mix, tmp)
+
+    sep = VRSeparator(
+        common_config={
+            "logger": logging.getLogger("bench"), "model_name": "bench_5hp",
+            "model_path": ckpt,
+            "model_data": {"vr_model_param": "4band_v2",
+                           "primary_stem": "Instrumental"},
+            "output_dir": tmp, "output_format": "WAV",
+            "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+            "sample_rate": SR},
+        arch_config={"batch_size": 4, "window_size": 512, "aggression": 5,
+                     "enable_tta": False, "enable_post_process": False,
+                     "post_process_threshold": 0.2, "high_end_process": False})
+    sep._params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in net.state_dict().items()}))
+    sep._arch_size = arch_size
+    sep._offset = 128
+
+    def run():
+        outputs = sep.separate(wav_path)
+        assert len(outputs) == 2
+
+    best, warm = _measure(run, True, passes)
+    return {"rtf": round(mix.shape[-1] / SR / best, 2),
+            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
+            "geometry": {"param": "4band_v2", "bins": n_bins,
+                         "arch_size": arch_size, "window": 512},
+            "note": "full separate() incl. host multiband chain + writes "
+                    "(5_HP-Karaoke-class capacity)"}
+
+
+def bench_htdemucs(tmp, mix, passes):
+    import numpy as np
+    import jax
+
+    from parity_cases import run_our_demucs
+    from audio_separator_tpu.models.htdemucs import HTDemucsConfig
+
+    import torch
+
+    from ref_shims import load_ref_module
+
+    mod = load_ref_module("demucs.htdemucs")
+    sources = ["drums", "bass", "other", "vocals"]
+    geometry = dict(channels=48, nfft=4096, depth=4, t_layers=5, t_heads=8,
+                    segment=7.8, t_dropout=0.0)
+    torch.manual_seed(2)
+    ref = mod.HTDemucs(sources, **geometry)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    tree: dict = {}
+    for key, value in ref.state_dict().items():
+        node = tree
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value.detach().numpy()
+    params = jax.device_put(tree)
+    n_params = sum(p.numel() for p in ref.parameters())
+    del ref
+    cfg = HTDemucsConfig(sources=tuple(sources), **{
+        k: v for k, v in geometry.items() if k != "t_dropout"})
+
+    def run_batched():
+        out = run_our_demucs(cfg, params, mix, shifts=2, batch_size=4)
+        assert np.isfinite(out).all()
+
+    best, warm = _measure(run_batched, True, passes)
+
+    # A/B: sequential per-shift passes (the pre-r3 semantics) vs the batched
+    # single-call path, same offsets.
+    from audio_separator_tpu.architectures.demucs import DemucsSeparator
+    import jax.numpy as jnp
+
+    sep = DemucsSeparator.__new__(DemucsSeparator)
+    import logging
+
+    sep.logger = logging.getLogger("bench")
+    sep.segments_enabled = True
+    sep.overlap = 0.25
+    sep.batch_size = 4
+    sep.shifts = 2
+    sep.compute_dtype = jnp.float32
+
+    max_shift = int(0.5 * cfg.samplerate)
+    rng = np.random.default_rng(0)
+    offsets = [int(rng.integers(0, max_shift + 1)) for _ in range(2)]
+    padded = np.pad(mix, ((0, 0), (max_shift, max_shift)))
+
+    def run_sequential():
+        out = np.zeros((4, 2, mix.shape[-1]), np.float32)
+        for offset in offsets:
+            shifted = padded[:, offset : offset + mix.shape[-1] + max_shift]
+            s_out = sep._apply_split(cfg, params, shifted)
+            out += s_out[..., max_shift - offset :][..., : mix.shape[-1]]
+
+    seq_best, seq_warm = _measure(run_sequential, True, max(1, passes - 1))
+
+    track_s = mix.shape[-1] / SR
+    return {"rtf": round(track_s / best, 2),
+            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
+            "rtf_sequential_shifts": round(track_s / seq_best, 2),
+            "shift_batch_speedup": round(seq_best / best, 3),
+            "geometry": {**geometry, "params_m": round(n_params / 1e6, 1),
+                         "shifts": 2, "batch": 4},
+            "note": "demix_demucs with shift TTA; A/B batched vs sequential "
+                    "shift passes"}
+
+
+def bench_ensemble_batch(tmp, mix, passes):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from audio_separator_tpu.models.init_params import (
+        flagship_config, init_roformer_params_device)
+    from audio_separator_tpu.models.roformer import apply_roformer
+    from audio_separator_tpu.ops.demix import overlap_add_demix
+    from audio_separator_tpu.ops.stft import hamming_window
+    from audio_separator_tpu.separator.ensembler import Ensembler
+
+    cfg = flagship_config()
+    chunk = cfg.stft_hop_length * 800
+    step = min(8 * SR, chunk)
+    window = np.asarray(hamming_window(chunk))
+    params_a = init_roformer_params_device(cfg, seed=0, dtype=jnp.bfloat16)
+    params_b = init_roformer_params_device(cfg, seed=1, dtype=jnp.bfloat16)
+    jax.block_until_ready((params_a, params_b))
+
+    def model_fn(p, chunks):
+        out = apply_roformer(p, cfg, chunks, compute_dtype=jnp.bfloat16)
+        return out[..., : chunks.shape[-1]]
+
+    def demix_with(p, m=None):
+        return overlap_add_demix(model_fn, mix if m is None else m, chunk,
+                                 step, window, num_stems=cfg.num_stems,
+                                 batch_size=4, model_params=p)
+
+    ens = Ensembler(algorithm="avg_wave", weights=[1.0, 1.0])
+
+    def run_ensemble():
+        a = demix_with(params_a)[0]
+        b = demix_with(params_b)[0]
+        out = ens.ensemble([a, b])
+        assert np.isfinite(out).all()
+
+    best, warm = _measure(run_ensemble, True, passes)
+
+    # batch folder: 3 tracks back-to-back on one model — serving steady state
+    tracks = [_synth_mix(mix.shape[-1] / SR, seed=s) for s in (10, 11, 12)]
+
+    def run_folder():
+        for t in tracks:
+            demix_with(params_a, t)
+
+    folder_best, _ = _measure(run_folder, False, max(1, passes - 1))
+    track_s = mix.shape[-1] / SR
+    return {"rtf": round(2 * track_s / best, 2),  # 2 models' audio-seconds
+            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
+            "rtf_per_model": round(track_s / (best / 2), 2),
+            "batch_folder_rtf_per_track": round(3 * track_s / folder_best, 2),
+            "geometry": {"models": 2, "algorithm": "avg_wave",
+                         "flagship": "bs_roformer ep317-class"},
+            "note": "ensemble of two flagship-geometry models + 3-track "
+                    "folder steady state"}
+
+
+# ---------------------------------------------------------------------------
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("seconds", nargs="?", type=float, default=120.0)
+    parser.add_argument("--configs", type=str, default="")
+    parser.add_argument("--passes", type=int, default=2)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _mark(f"devices: {jax.devices()}")
+
+    benches = {
+        "mdx_inst_hq3": bench_mdx,
+        "vr_4band_hp2": bench_vr,
+        "htdemucs": bench_htdemucs,
+        "ensemble_batch": bench_ensemble_batch,
+    }
+    selected = ([c.strip() for c in args.configs.split(",") if c.strip()]
+                or list(benches))
+
+    records = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            records = json.load(f)
+    records.setdefault("track_seconds", args.seconds)
+    records.setdefault("device", str(jax.devices()[0]))
+    records.setdefault("configs", {})
+
+    import tempfile
+
+    mix = _synth_mix(args.seconds)
+    for name in selected:
+        _mark(f"config {name} ...")
+        t0 = time.time()
+        try:
+            with tempfile.TemporaryDirectory() as tmp:
+                rec = benches[name](tmp, mix, args.passes)
+        except Exception as exc:  # record the failure, keep going
+            rec = {"error": f"{type(exc).__name__}: {exc}"}
+        rec["wall_s"] = round(time.time() - t0, 1)
+        records["configs"][name] = rec
+        _write(records)
+        _mark(f"config {name} done: {rec}")
+
+    print(json.dumps(records, indent=1, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
