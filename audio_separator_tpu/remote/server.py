@@ -128,7 +128,7 @@ class SeparatorService:
     """Job queue + worker running the Separator on this host."""
 
     def __init__(self, work_dir: Optional[str] = None, model_file_dir: Optional[str] = None,
-                 job_store=None, output_store=None):
+                 job_store=None, output_store=None, workers: Optional[int] = None):
         self.work_dir = work_dir or tempfile.mkdtemp(prefix="audio-separator-remote-")
         self.model_file_dir = model_file_dir
         self.jobs = job_store if job_store is not None else InMemoryJobStore()
@@ -137,8 +137,24 @@ class SeparatorService:
         self.uploads_dir = os.path.join(self.work_dir, "uploads")
         os.makedirs(self.uploads_dir, exist_ok=True)
         self._queue: Queue = Queue()
-        self._worker = threading.Thread(target=self._run_worker, daemon=True)
-        self._worker.start()
+        # Worker concurrency (AUDSEP_SERVER_WORKERS, default 1). A single
+        # job's e2e demix is link-bound on tethered hosts (host OLA + H2D/D2H
+        # leave chip idle gaps); a second worker thread lets another job's
+        # jitted device work fill those gaps. JAX dispatch is thread-safe and
+        # the process-level model_fn/weight caches are shared, so workers>1
+        # trades per-job latency for aggregate jobs/hour. Measured by
+        # tools/serving_bench.py; keep 1 when per-job latency matters most.
+        if workers is None:
+            try:
+                workers = int(os.environ.get("AUDSEP_SERVER_WORKERS", "1"))
+            except ValueError:
+                workers = 1
+        self.workers = max(1, workers)
+        self._worker_threads = []
+        for _ in range(self.workers):
+            t = threading.Thread(target=self._run_worker, daemon=True)
+            t.start()
+            self._worker_threads.append(t)
 
     # ----------------------------------------------------------------- jobs
 
@@ -461,11 +477,13 @@ def _stores_from_env(work_dir: str):
 
 def serve(host: str = "0.0.0.0", port: int = 8000,
           model_file_dir: Optional[str] = None,
-          work_dir: Optional[str] = None) -> ThreadingHTTPServer:
+          work_dir: Optional[str] = None,
+          workers: Optional[int] = None) -> ThreadingHTTPServer:
     work_dir = work_dir or tempfile.mkdtemp(prefix="audio-separator-remote-")
     jobs, outputs = _stores_from_env(work_dir)
     service = SeparatorService(work_dir=work_dir, model_file_dir=model_file_dir,
-                               job_store=jobs, output_store=outputs)
+                               job_store=jobs, output_store=outputs,
+                               workers=workers)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.service = service  # type: ignore[attr-defined]
     return server
@@ -482,9 +500,13 @@ def main():
                         default=int(os.environ.get("PORT", 8000)))
     parser.add_argument("--model_file_dir", default=None)
     parser.add_argument("--work_dir", default=None)
+    parser.add_argument("--workers", type=int, default=None,
+                        help="concurrent job workers (default: "
+                             "AUDSEP_SERVER_WORKERS or 1)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
-    server = serve(args.host, args.port, args.model_file_dir, args.work_dir)
+    server = serve(args.host, args.port, args.model_file_dir, args.work_dir,
+                   workers=args.workers)
     logger.info(f"Serving on {args.host}:{args.port}")
     server.serve_forever()
 

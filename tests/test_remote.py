@@ -144,6 +144,57 @@ def test_remote_real_separation_end_to_end(tmp_path):
         server.shutdown()
 
 
+def test_service_concurrent_workers(tmp_path, monkeypatch):
+    """workers=2 runs queued jobs concurrently (AUDSEP_SERVER_WORKERS /
+    serve(workers=) plumbing): with a fake separate that sleeps, two jobs'
+    processing windows must overlap; all jobs complete."""
+    from audio_separator_tpu.remote.server import SeparatorService
+    from audio_separator_tpu.separator.separator import Separator
+
+    windows = []
+    lock = threading.Lock()
+
+    def fake_load_model(self, model_filename="default"):
+        self.model_filename = str(model_filename)
+        self.model_filenames = [self.model_filename]
+        self.model_instance = object()
+
+    def fake_separate(self, audio_file_path, custom_output_names=None):
+        t0 = time.time()
+        time.sleep(0.5)
+        out = os.path.join(self.output_dir, "out_(Vocals)_fake.wav")
+        with open(out, "wb") as f:
+            f.write(b"RIFF" + b"\0" * 64)
+        with lock:
+            windows.append((t0, time.time()))
+        return [out]
+
+    monkeypatch.setattr(Separator, "load_model", fake_load_model)
+    monkeypatch.setattr(Separator, "separate", fake_separate)
+
+    service = SeparatorService(work_dir=str(tmp_path / "work"), workers=2)
+    assert service.workers == 2
+    ids = [service.submit(f"t{i}.wav", b"x", {"model": "m.ckpt"})
+           for i in range(4)]
+    for tid in ids:
+        st = service.wait(tid, timeout=30)
+        assert st and st["status"] == "completed", st
+
+    overlapped = any(
+        a0 < b1 and b0 < a1
+        for i, (a0, a1) in enumerate(windows)
+        for (b0, b1) in windows[i + 1:])
+    assert overlapped, windows
+
+
+def test_service_workers_env_default(tmp_path, monkeypatch):
+    monkeypatch.setenv("AUDSEP_SERVER_WORKERS", "3")
+    from audio_separator_tpu.remote.server import SeparatorService
+
+    service = SeparatorService(work_dir=str(tmp_path / "work"))
+    assert service.workers == 3
+
+
 def test_firestore_job_store_with_fake_client():
     """FirestoreJobStore maps the store interface onto a Firestore client
     (ref: remote/job_store.py:14-73) — exercised against an in-memory fake."""

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Multi-track serving throughput on one chip: jobs/hour vs worker count.
+
+The remote server (remote/server.py SeparatorService) runs jobs from a queue;
+the worker count is configurable (AUDSEP_SERVER_WORKERS / serve(workers=)).
+Rationale for >1: a single job's e2e demix leaves the chip idle during host
+overlap-add, encode, and H2D/D2H gaps (the flagship measures ~25% e2e-vs-
+forward loss on a tethered link, BENCH_r02.json), so a second job's device
+work can fill those gaps — at the cost of per-job latency. This tool measures
+the actual aggregate: submit K identical jobs, time queue-drain, report
+jobs/hour and aggregate processed-audio RTF for workers=1 vs workers=2.
+
+Model: a synthetic Mel-RoFormer checkpoint at mid-production geometry
+(dim 256 / depth 6 / 60 mel bands / n_fft 2048 @ 44.1 kHz) through the REAL
+serving path: SeparatorService.submit → Separator.load_model → separate →
+encode → output store. The process-level fn/weight caches (ops/fn_cache.py)
+are shared across workers exactly as in production.
+
+Writes SERVING.json. Run on the real TPU host:
+    python tools/serving_bench.py [--jobs 6] [--seconds 60] [--workers 1,2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+OUT_PATH = os.path.join(REPO, "SERVING.json")
+SR = 44100
+N_FFT, HOP = 2048, 441
+NUM_BANDS = 60
+DIM, DEPTH = 256, 6
+DIM_T = 256  # chunk = HOP*(DIM_T-1) ≈ 2.55 s
+
+
+def _make_model(dirpath: str) -> str:
+    """Synthetic Mel-RoFormer checkpoint + YAML at mid-production geometry."""
+    import numpy as np
+    import torch
+    import yaml
+
+    from audio_separator_tpu.models.melbands import mel_band_membership
+    from torch_oracles.roformer_oracle import RoformerOracle
+
+    torch.manual_seed(0)
+    member, _, _, _ = mel_band_membership(SR, N_FFT, NUM_BANDS)
+    band_bins = [list(np.nonzero(member[i])[0]) for i in range(NUM_BANDS)]
+    oracle = RoformerOracle(
+        kind="mel", band_bins=band_bins, dim=DIM, depth=DEPTH, heads=8,
+        dim_head=32, stereo=True, num_stems=1, t_depth=1, f_depth=1,
+        n_fft=N_FFT, hop=HOP, mask_depth=1,
+    ).eval()
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    ckpt = os.path.join(dirpath, "serving_mel_band_roformer.ckpt")
+    torch.save({"state_dict": oracle.state_dict()}, ckpt)
+    config = {
+        "audio": {"sample_rate": SR, "hop_length": HOP},
+        "model": {
+            "dim": DIM, "depth": DEPTH, "stereo": True, "num_stems": 1,
+            "time_transformer_depth": 1, "freq_transformer_depth": 1,
+            "num_bands": NUM_BANDS, "dim_head": 32, "heads": 8,
+            "stft_n_fft": N_FFT, "stft_hop_length": HOP,
+            "stft_win_length": N_FFT, "mask_estimator_depth": 1,
+            "sample_rate": SR,
+        },
+        "training": {"instruments": ["vocals", "other"],
+                     "target_instrument": "vocals"},
+        "inference": {"dim_t": DIM_T, "batch_size": 4},
+    }
+    with open(os.path.splitext(ckpt)[0] + ".yaml", "w") as f:
+        yaml.safe_dump(config, f)
+    return os.path.basename(ckpt)
+
+
+def _drain(service, task_ids, poll=0.5):
+    done = {}
+    while len(done) < len(task_ids):
+        for tid in task_ids:
+            if tid in done:
+                continue
+            st = service.get_status(tid) or {}
+            if st.get("status") in ("completed", "error"):
+                done[tid] = st
+        time.sleep(poll)
+    return done
+
+
+def _run_config(workers, model_dir, model_name, wavs, warm_wav):
+    from audio_separator_tpu.remote.server import SeparatorService
+
+    work_dir = tempfile.mkdtemp(prefix=f"serving-bench-w{workers}-")
+    service = SeparatorService(work_dir=work_dir, model_file_dir=model_dir,
+                               workers=workers)
+    fields = {"model": model_name, "output_format": "flac"}
+
+    # Warm: one job end to end compiles the demix program and uploads weights
+    # (process-level caches persist across services, so only the first config
+    # pays the compile).
+    with open(warm_wav, "rb") as f:
+        tid = service.submit(os.path.basename(warm_wav), f.read(), dict(fields))
+    st = service.wait(tid, timeout=1800)
+    assert st and st.get("status") == "completed", st
+
+    t0 = time.time()
+    ids = []
+    for wav in wavs:
+        with open(wav, "rb") as f:
+            ids.append(service.submit(os.path.basename(wav), f.read(),
+                                      dict(fields)))
+    done = _drain(service, ids)
+    wall = time.time() - t0
+    errors = [tid for tid, st in done.items()
+              if st.get("status") != "completed"]
+    assert not errors, {tid: done[tid] for tid in errors}
+    return wall
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--jobs", type=int, default=6)
+    parser.add_argument("--seconds", type=float, default=60.0)
+    parser.add_argument("--workers", type=str, default="1,2")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from audio_separator_tpu.io import audio as audio_io
+
+    t_start = time.time()
+    worker_counts = [int(w) for w in args.workers.split(",")]
+
+    model_dir = tempfile.mkdtemp(prefix="serving-bench-models-")
+    model_name = _make_model(model_dir)
+    print(f"[serving] model built ({time.time() - t_start:.0f}s)", flush=True)
+
+    wav_dir = tempfile.mkdtemp(prefix="serving-bench-wavs-")
+    rng = np.random.default_rng(0)
+    wavs = []
+    for i in range(args.jobs):
+        mix = (rng.standard_normal((2, int(args.seconds * SR))) * 0.1
+               ).astype("float32")
+        path = os.path.join(wav_dir, f"track{i}.wav")
+        audio_io.save_audio(path, mix, SR)
+        wavs.append(path)
+    warm = os.path.join(wav_dir, "warm.wav")
+    audio_io.save_audio(
+        warm, (rng.standard_normal((2, int(args.seconds * SR))) * 0.1
+               ).astype("float32"), SR)
+
+    results = {}
+    for w in worker_counts:
+        print(f"[serving] workers={w}: {args.jobs} x {args.seconds:.0f}s jobs",
+              flush=True)
+        wall = _run_config(w, model_dir, model_name, wavs, warm)
+        results[str(w)] = {
+            "jobs": args.jobs,
+            "track_seconds": args.seconds,
+            "wall_s": round(wall, 1),
+            "jobs_per_hour": round(args.jobs * 3600.0 / wall, 1),
+            "aggregate_rtf": round(args.jobs * args.seconds / wall, 2),
+        }
+        print(f"[serving] workers={w}: {wall:.1f}s "
+              f"({results[str(w)]['jobs_per_hour']} jobs/h)", flush=True)
+
+    rec = {
+        "model": f"mel_roformer dim{DIM} depth{DEPTH} bands{NUM_BANDS}",
+        "results": results,
+    }
+    if "1" in results and "2" in results:
+        rec["speedup_2workers"] = round(
+            results["1"]["wall_s"] / results["2"]["wall_s"], 3)
+    with open(OUT_PATH, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT_PATH}")
+
+
+if __name__ == "__main__":
+    main()
