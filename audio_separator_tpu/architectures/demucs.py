@@ -98,27 +98,47 @@ class DemucsSeparator(BaseSeparator):
         self.audio_file_base = os.path.splitext(os.path.basename(audio_file_path))[0]
 
         mix = self.prepare_mix(audio_file_path)
-        source = self.demix_demucs(mix)
 
-        n_sources = len(source)
+        models, _ = self._load_models()
+        n_sources = len(models[0][0].sources)
         source_map = {2: DEMUCS_2_SOURCE_MAPPER, 6: DEMUCS_6_SOURCE_MAPPER}.get(
             n_sources, DEMUCS_4_SOURCE_MAPPER)
+
+        # output_single_stem: compute all sources on device but fetch only
+        # the requested one (fetch_stems in the engine — 1/n_sources of the
+        # D2H bytes). Falls back to fetching all when the name matches no
+        # source (the skip below then writes nothing, as before).
+        wanted = None
+        if self.output_single_stem is not None:
+            hits = tuple(idx for name, idx in source_map.items()
+                         if name.lower() == self.output_single_stem.lower())
+            if hits:
+                wanted = hits
+
+        source = self.demix_demucs(mix, wanted=wanted)
 
         output_files = []
         for stem_name, idx in source_map.items():
             if (self.output_single_stem is not None
                     and stem_name.lower() != self.output_single_stem.lower()):
                 continue
+            row = source[wanted.index(idx)] if wanted is not None else source[idx]
             path = self.get_stem_output_path(stem_name, custom_output_names)
-            self.final_process(path, source[idx].T, stem_name)
+            self.final_process(path, row.T, stem_name)
             output_files.append(path)
         return output_files
 
     # ------------------------------------------------------------------ demix
 
-    def demix_demucs(self, mix: np.ndarray) -> np.ndarray:
+    def demix_demucs(self, mix: np.ndarray,
+                     wanted: tuple | None = None) -> np.ndarray:
         """(ref: demucs_separator.py:162-195): standardize, bag apply with
-        shifts+split, un-standardize, swap sources 0 and 1."""
+        shifts+split, un-standardize, swap sources 0 and 1.
+
+        ``wanted``: optional tuple of POST-swap source indices to compute the
+        fetch for — only those rows cross the device→host link (the model
+        still computes every source). Returns rows in ``wanted`` order; with
+        ``wanted=None`` returns all sources in post-swap order as before."""
         models, weights = self._load_models()
         mix = np.asarray(mix, dtype=np.float32)
         ref_mean = float(mix.mean(axis=0).mean())
@@ -126,42 +146,51 @@ class DemucsSeparator(BaseSeparator):
         norm = (mix - ref_mean) / (ref_std + 1e-20)
 
         n_sources = len(models[0][0].sources)
-        estimates = np.zeros((n_sources, 2, mix.shape[-1]), dtype=np.float32)
-        totals = [0.0] * n_sources
+        if wanted is None:
+            fetch = tuple(range(n_sources))
+        else:
+            # undo the final 0<->1 swap so `fetch` is in model-output order
+            fetch = tuple(1 if i == 0 else 0 if i == 1 else i for i in wanted)
+        estimates = np.zeros((len(fetch), 2, mix.shape[-1]), dtype=np.float32)
+        totals = [0.0] * len(fetch)
         rng = np.random.default_rng(0)
         for (cfg, params), weight in zip(models, weights):
-            out = self._apply_one(cfg, params, norm, rng)
-            for k, w in enumerate(weight):
-                out[k] *= w
-                totals[k] += w
+            out = self._apply_one(cfg, params, norm, rng, fetch=fetch)
+            for j, k in enumerate(fetch):
+                out[j] *= weight[k]
+                totals[j] += weight[k]
             estimates += out
-        for k in range(n_sources):
-            estimates[k] /= totals[k]
+        for j in range(len(fetch)):
+            estimates[j] /= totals[j]
 
         sources = estimates * ref_std + ref_mean
-        sources[[0, 1]] = sources[[1, 0]]
+        if wanted is None:
+            sources[[0, 1]] = sources[[1, 0]]
         return sources
 
-    def _apply_one(self, cfg, params, mix: np.ndarray, rng) -> np.ndarray:
+    def _apply_one(self, cfg, params, mix: np.ndarray, rng,
+                   fetch: tuple | None = None) -> np.ndarray:
         """apply_model for one sub-model: shift trick over split overlap-add
-        (ref: apply.py:200-260)."""
+        (ref: apply.py:200-260). ``fetch`` restricts which model-output
+        source rows are fetched from device (engine fetch_stems)."""
         length = mix.shape[-1]
-        n_sources = len(cfg.sources)
+        if fetch is None:
+            fetch = tuple(range(len(cfg.sources)))
         if not self.shifts:
-            return self._apply_split(cfg, params, mix)
+            return self._apply_split(cfg, params, mix, fetch=fetch)
         max_shift = int(0.5 * cfg.samplerate)
         offsets = [int(rng.integers(0, max_shift + 1))
                    for _ in range(self.shifts)]
         if cfg.use_train_segment and self.segments_enabled:
             return self._apply_shifts_batched(cfg, params, mix, offsets,
-                                              max_shift)
+                                              max_shift, fetch=fetch)
         # v3 exact-length path / direct eval: chunk shapes differ per shift
         # position, so shifts stay sequential passes there.
         padded = np.pad(mix, ((0, 0), (max_shift, max_shift)))
-        out = np.zeros((n_sources, 2, length), dtype=np.float32)
+        out = np.zeros((len(fetch), 2, length), dtype=np.float32)
         for offset in offsets:
             shifted = padded[:, offset : offset + length + max_shift]
-            shifted_out = self._apply_split(cfg, params, shifted)
+            shifted_out = self._apply_split(cfg, params, shifted, fetch=fetch)
             out += shifted_out[..., max_shift - offset :][..., :length]
         return out / self.shifts
 
@@ -196,7 +225,8 @@ class DemucsSeparator(BaseSeparator):
                 np.maximum(divider, 1e-10))
 
     def _apply_shifts_batched(self, cfg, params, mix: np.ndarray,
-                              offsets, max_shift: int) -> np.ndarray:
+                              offsets, max_shift: int,
+                              fetch: tuple | None = None) -> np.ndarray:
         """Shift-trick TTA as ONE engine call (SURVEY §2.8: shifts become a
         batch dim): each shift's windows gather from and accumulate into its
         own disjoint region of a single concatenated buffer, so all
@@ -208,6 +238,8 @@ class DemucsSeparator(BaseSeparator):
         each shift by its own window sum before the host aligns + averages."""
         length = mix.shape[-1]
         n_sources = len(cfg.sources)
+        if fetch is None:
+            fetch = tuple(range(n_sources))
         track_len = length + max_shift  # every shift sees this many samples
         (segment, stride, pad_lead, span, rel_pos, rows,
          div_one) = self._train_segment_plan(cfg, track_len)
@@ -227,9 +259,10 @@ class DemucsSeparator(BaseSeparator):
             self._model_fn(cfg), buf, segment, stride, all_rows,
             num_stems=n_sources, batch_size=self.batch_size,
             positions=positions.astype(np.int32), divider=divider,
-            model_params=params, mesh=getattr(self, "mesh", None))
+            model_params=params, mesh=getattr(self, "mesh", None),
+            fetch_stems=fetch if len(fetch) < n_sources else None)
 
-        out = np.zeros((n_sources, 2, length), dtype=np.float32)
+        out = np.zeros((len(fetch), 2, length), dtype=np.float32)
         for s, offset in enumerate(offsets):
             seg = out_big[..., s * span + pad_lead : s * span + pad_lead + track_len]
             out += seg[..., max_shift - offset :][..., :length]
@@ -254,19 +287,26 @@ class DemucsSeparator(BaseSeparator):
         return memoized_model_fn(
             ("demucs", cfg, jnp.dtype(compute_dtype).name), _build)
 
-    def _apply_split(self, cfg, params, mix: np.ndarray) -> np.ndarray:
+    def _apply_split(self, cfg, params, mix: np.ndarray,
+                     fetch: tuple | None = None) -> np.ndarray:
         length = mix.shape[-1]
         n_sources = len(cfg.sources)
+        if fetch is None:
+            fetch = tuple(range(n_sources))
+        partial = len(fetch) < n_sources
         training_len = cfg.training_length
         apply = apply_hdemucs if cfg.arch == "hdemucs" else apply_htdemucs
         model_fn = self._model_fn(cfg)
 
         if not self.segments_enabled:
-            # direct eval on the full (padded) track
+            # direct eval on the full (padded) track; slice the source axis on
+            # device so only the fetched rows cross D2H
             target = max(length, training_len) if cfg.use_train_segment else length
             delta = target - length
             padded = np.pad(mix, ((0, 0), (delta // 2, delta - delta // 2)))
-            out = np.asarray(model_fn(params, jnp.asarray(padded[None])))[0]
+            out_dev = model_fn(params, jnp.asarray(padded[None]))[0]
+            out = np.asarray(out_dev[jnp.asarray(fetch, dtype=jnp.int32)]
+                             if partial else out_dev)
             start = (out.shape[-1] - length) // 2
             return out[..., start : start + length]
 
@@ -282,7 +322,7 @@ class DemucsSeparator(BaseSeparator):
                                        np.arange(segment - segment // 2, 0, -1)]
                                       ).astype(np.float32)
             tri_full /= tri_full.max()
-            out = np.zeros((n_sources, 2, length), np.float32)
+            out = np.zeros((len(fetch), 2, length), np.float32)
             sum_w = np.zeros(length, np.float32)
             full = [o for o in offsets if o + segment <= length]
             if full:
@@ -291,7 +331,8 @@ class DemucsSeparator(BaseSeparator):
                     model_fn, mix[:, :pad_len], segment, stride, tri_full,
                     num_stems=n_sources, batch_size=self.batch_size,
                     positions=np.asarray(full, dtype=np.int32),
-                    model_params=params, mesh=getattr(self, 'mesh', None))
+                    model_params=params, mesh=getattr(self, 'mesh', None),
+                    fetch_stems=fetch if partial else None)
                 # engine divides by its own divider; rebuild weighted sums
                 div = np.zeros(pad_len, np.float32)
                 for o in full:
@@ -303,8 +344,10 @@ class DemucsSeparator(BaseSeparator):
                     continue
                 chunk = np.ascontiguousarray(mix[:, o:])
                 chunk_len = chunk.shape[-1]
-                est = np.asarray(apply(params, cfg, jnp.asarray(chunk[None]),
-                                       compute_dtype=self.compute_dtype))[0]
+                est_dev = apply(params, cfg, jnp.asarray(chunk[None]),
+                                compute_dtype=self.compute_dtype)[0]
+                est = np.asarray(est_dev[jnp.asarray(fetch, dtype=jnp.int32)]
+                                 if partial else est_dev)
                 out[..., o:] += tri_full[:chunk_len] * est[..., :chunk_len]
                 sum_w[o:] += tri_full[:chunk_len]
             return out / np.maximum(sum_w, 1e-10)
@@ -319,5 +362,6 @@ class DemucsSeparator(BaseSeparator):
             num_stems=n_sources, batch_size=self.batch_size,
             positions=positions, divider=divider,
             model_params=params, mesh=getattr(self, 'mesh', None),
+            fetch_stems=fetch if partial else None,
         )
         return out[..., pad_lead : pad_lead + length]

@@ -141,11 +141,16 @@ class MDXCSeparator(BaseSeparator):
                     output_files.append(path)
                 return output_files
 
-            if not isinstance(self.primary_source, np.ndarray):
+            # With output_single_stem, demix fetched only the requested stem
+            # from device (fetch_stems) — the other name is absent here and
+            # is never written below.
+            if (not isinstance(self.primary_source, np.ndarray)
+                    and self.primary_stem_name in source):
                 self.primary_source = spec_ops.normalize(
                     source[self.primary_stem_name],
                     self.normalization_threshold, self.amplification_threshold).T
-            if not isinstance(self.secondary_source, np.ndarray):
+            if (not isinstance(self.secondary_source, np.ndarray)
+                    and self.secondary_stem_name in source):
                 self.secondary_source = spec_ops.normalize(
                     source[self.secondary_stem_name],
                     self.normalization_threshold, self.amplification_threshold).T
@@ -226,6 +231,21 @@ class MDXCSeparator(BaseSeparator):
         audio_section = self.model_data.get("audio") or {}
         num_stems = len(self.stem_list)
 
+        # output_single_stem on a multi-stem model: compute all stems on
+        # device but fetch only the requested one (D2H bytes are the scarce
+        # resource on tethered links; 1/num_stems the fetch). Only when the
+        # name matches a model stem — otherwise fall back to fetching all.
+        fetch_stems = None
+        kept_names = list(self.stem_list)
+        if (self.output_single_stem and num_stems > 1
+                and not self.process_all_stems):
+            want = self.output_single_stem.lower()
+            idx = [i for i, name in enumerate(self.stem_list)
+                   if name.lower() == want]
+            if idx:
+                fetch_stems = tuple(idx)
+                kept_names = [self.stem_list[i] for i in idx]
+
         if self.is_roformer:
             stft_hop = int(model_section.get("stft_hop_length",
                                              audio_section.get("hop_length",
@@ -239,16 +259,18 @@ class MDXCSeparator(BaseSeparator):
                 self._model_fn(), mix, chunk, step, window,
                 num_stems=num_stems, batch_size=max(1, int(self.batch_size)),
                 model_params=self.params, mesh=self.mesh,
+                fetch_stems=fetch_stems,
             )
         else:
             hop_length = int(audio_section.get("hop_length", 1024))
             chunk = hop_length * (seg - 1)
             hop_size = chunk // int(self.overlap)
-            out = self._demix_unfold(mix, chunk, hop_size, num_stems)
+            out = self._demix_unfold(mix, chunk, hop_size, num_stems,
+                                     fetch_stems=fetch_stems)
 
         sources = {}
         outputs = {name: out[i] for i, name in enumerate(
-            self.stem_list if num_stems > 1 else [self.stem_list[0]])}
+            kept_names if num_stems > 1 else [self.stem_list[0]])}
         for key, value in outputs.items():
             if self.pitch_shift != 0:
                 value = self._pitch_fix(value, sample_rate, orig_mix)
@@ -269,7 +291,8 @@ class MDXCSeparator(BaseSeparator):
             }
         return primary
 
-    def _demix_unfold(self, mix: np.ndarray, chunk: int, hop_size: int, num_stems: int):
+    def _demix_unfold(self, mix: np.ndarray, chunk: int, hop_size: int,
+                      num_stems: int, fetch_stems: tuple | None = None):
         """MDX23C path: unfold + uniform-weight accumulate ÷ overlap
         (ref: mdxc_separator.py:345-404)."""
         c, total = mix.shape
@@ -285,6 +308,7 @@ class MDXCSeparator(BaseSeparator):
             num_stems=num_stems, batch_size=max(1, int(self.batch_size)),
             positions=positions,
             model_params=self.params, mesh=self.mesh,
+            fetch_stems=fetch_stems,
         )
         # Reference divides by self.overlap; with uniform windows the divider
         # equals the per-sample overlap count, matching in the steady state and

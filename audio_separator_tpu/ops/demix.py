@@ -63,7 +63,7 @@ def window_positions(total: int, chunk: int, step: int) -> np.ndarray:
     jax.jit,
     static_argnames=("model_fn", "chunk", "batch_size", "num_stems",
                      "out_channels", "quantized_transfer", "has_divider",
-                     "normalize", "mesh", "data_axis"),
+                     "normalize", "mesh", "data_axis", "fetch_stems"),
 )
 def _demix_scan(
     model_fn: Callable,
@@ -83,6 +83,7 @@ def _demix_scan(
     normalize: bool = True,
     mesh=None,
     data_axis: str = "data",
+    fetch_stems: tuple | None = None,
 ):
     c, t_buf = mix.shape
     n = positions.shape[0]
@@ -136,6 +137,11 @@ def _demix_scan(
     (acc, wsum), _ = jax.lax.scan(body, (acc0, wsum0), xs)
     if normalize:
         acc = acc / (divider if has_divider else jnp.maximum(wsum, 1e-10))
+    if fetch_stems is not None:
+        # Device-side stem selection: only the requested stems cross D2H
+        # (output_single_stem on a multi-stem model — e.g. 1/4 the fetch
+        # bytes for a 4-stem htdemucs). Static tuple → fixed output shape.
+        acc = acc[jnp.asarray(fetch_stems, dtype=jnp.int32)]
     if not quantized_transfer:
         return acc, jnp.float32(1.0)
     # Device-side quantisation shrinks the device→host transfer; the scale
@@ -188,8 +194,15 @@ def overlap_add_demix(
     bucket: bool = True,
     pipeline_segments: int | None = None,
     quantized_upload: bool | str | None = None,
+    fetch_stems: tuple | None = None,
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
+
+    ``fetch_stems``: optional tuple of stem indices to bring back to host —
+    the model still computes all ``num_stems``, but only the selected rows
+    cross the device→host link (the scarce resource on tethered TPUs). The
+    result's stem axis has ``len(fetch_stems)`` rows in the given order.
+    Used by output_single_stem on multi-stem models.
 
     ``model_fn``: jax-traceable ``(B, C, chunk) → (B, num_stems, C, chunk)``,
     or ``(model_params, chunks) → …`` when ``model_params`` is given.
@@ -289,7 +302,8 @@ def overlap_add_demix(
         return _pipelined_demix(
             model_fn, mix, chunk, window, shared_window, positions, divider,
             num_stems, batch_size, quantized_transfer, quantized_upload,
-            model_params, pipeline_segments, bucket, mesh, data_axis)
+            model_params, pipeline_segments, bucket, mesh, data_axis,
+            fetch_stems=fetch_stems)
 
     # Device buffer must fit every gathered/accumulated window.
     t_buf = max(total, int(positions.max()) + chunk)
@@ -342,6 +356,7 @@ def overlap_add_demix(
         normalize=True,
         mesh=mesh,
         data_axis=data_axis,
+        fetch_stems=fetch_stems,
     )
     # Crop ON DEVICE before fetching: t_buf is bucket-padded (up to ~1/3
     # beyond the track), and D2H bytes are the scarce resource on tethered
@@ -461,6 +476,7 @@ def _pipelined_demix(
     bucket: bool,
     mesh=None,
     data_axis: str = "data",
+    fetch_stems: tuple | None = None,
 ) -> np.ndarray:
     """Segment-pipelined demix: K contiguous window groups, each run as an
     *unnormalised* device scan over its own mix slice, dispatched back to back
@@ -530,6 +546,7 @@ def _pipelined_demix(
             normalize=device_norm,
             mesh=mesh,
             data_axis=data_axis,
+            fetch_stems=fetch_stems,
         )
         wseg = None
         if device_norm:  # host-side re-scale weight (same math as `div` below)
@@ -542,7 +559,18 @@ def _pipelined_demix(
         # segment's true span crosses D2H — the padded tail is zeros.
         handles.append((lo, span, acc[..., :span], scale, wseg))
 
-    full = np.zeros((num_stems, c, pad_to), dtype=np.float32)
+    # Kick off every segment's D2H copy before the first blocking read:
+    # np.asarray() below is a *synchronous* fetch, so without the explicit
+    # async copy segment k+1's transfer would only start after segment k's
+    # host accumulation — serialising link and host work at the drain end.
+    for _, _, acc, _, _ in handles:
+        try:
+            acc.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            break  # backend without async host copies: fetches stay lazy
+
+    n_out = len(fetch_stems) if fetch_stems is not None else num_stems
+    full = np.zeros((n_out, c, pad_to), dtype=np.float32)
     for lo, span, acc, scale, wseg in handles:
         a = np.asarray(acc).astype(np.float32)
         if quantized_transfer:

@@ -166,6 +166,32 @@ def test_demix_pipelined_dense_windows_and_divider():
     np.testing.assert_allclose(piped, base, atol=1e-5)
 
 
+def test_demix_fetch_stems_matches_full():
+    """fetch_stems returns exactly the selected rows of the full result, in
+    the requested order, through both the one-scan and pipelined paths and
+    with quantized transfers (the single-stem D2H optimisation)."""
+    rng = np.random.default_rng(17)
+    mix = rng.standard_normal((2, 40000)).astype(np.float32)
+    chunk, step = 4096, 2500
+    window = np.asarray(hamming_window(chunk))
+    full = overlap_add_demix(_model, mix, chunk, step, window,
+                             num_stems=2, batch_size=2, pipeline_segments=1)
+    for pipeline in (1, 3):
+        for sel in ((0,), (1,), (1, 0)):
+            got = overlap_add_demix(_model, mix, chunk, step, window,
+                                    num_stems=2, batch_size=2,
+                                    pipeline_segments=pipeline,
+                                    fetch_stems=sel)
+            assert got.shape == (len(sel), 2, 40000)
+            np.testing.assert_allclose(got, full[list(sel)], atol=1e-5)
+    # quantized transfer composes (device-side peak is over fetched rows only,
+    # so compare within quantisation tolerance)
+    q = overlap_add_demix(_model, mix, chunk, step, window, num_stems=2,
+                          batch_size=2, pipeline_segments=3,
+                          quantized_transfer=True, fetch_stems=(0,))
+    assert np.abs(q[0] - full[0]).max() < 5e-4
+
+
 def test_demix_quantized_upload_and_transfer():
     """int16 mix upload + int16 stem fetch stay within quantisation noise."""
     rng = np.random.default_rng(13)

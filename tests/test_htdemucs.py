@@ -165,6 +165,69 @@ def test_demucs_separator_end_to_end(oracle_pair, fixtures_dir, tmp_path):
         assert os.path.exists(os.path.join(out_dir, p))
 
 
+def test_demucs_single_stem_fetch_matches_full(oracle_pair, tmp_path):
+    """output_single_stem fetches only the requested source from device
+    (engine fetch_stems): demix_demucs(wanted=(i,)) row-matches the full
+    demix, and the separator writes exactly that one stem."""
+    import logging
+    import os
+    import sys
+
+    import yaml as yaml_mod
+
+    from audio_separator_tpu.architectures.demucs import DemucsSeparator
+    from audio_separator_tpu.io import audio as audio_io
+    from audio_separator_tpu.models.demucs_load import _ensure_stub_modules
+
+    oracle, cfg, params = oracle_pair
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    _ensure_stub_modules()
+    fake_klass = sys.modules["demucs.htdemucs"].HTDemucs
+    package = {
+        "klass": fake_klass,
+        "args": (),
+        "kwargs": {"sources": list(cfg.sources), "channels": 8, "nfft": 1024,
+                   "depth": 3, "t_layers": 3, "t_heads": 4, "segment": 0.5},
+        "state": oracle.state_dict(),
+    }
+    torch.save(package, repo / "abcdef13.th")
+    with open(repo / "htdemucs_single.yaml", "w") as f:
+        yaml_mod.safe_dump({"models": ["abcdef13"], "weights": [[1.0] * 4]}, f)
+
+    out_dir = str(tmp_path / "out")
+    common = {
+        "logger": logging.getLogger("test"),
+        "model_name": "htdemucs_single",
+        "model_path": str(repo / "htdemucs_single.yaml"),
+        "model_data": {"primary_stem": "Vocals"},
+        "output_dir": out_dir,
+        "output_format": "WAV",
+        "normalization_threshold": 0.9,
+        "amplification_threshold": 0.0,
+        "sample_rate": 44100,
+        "output_single_stem": "drums",
+    }
+    arch = {"segment_size": "Default", "shifts": 0, "overlap": 0.25,
+            "segments_enabled": True, "batch_size": 2}
+    sep = DemucsSeparator(common_config=common, arch_config=arch)
+
+    rng = np.random.default_rng(3)
+    mix = (rng.standard_normal((2, 44100)) * 0.2).astype(np.float32)
+
+    full = sep.demix_demucs(mix)
+    for i in range(len(full)):
+        row = sep.demix_demucs(mix, wanted=(i,))
+        assert row.shape == (1,) + full.shape[1:]
+        np.testing.assert_allclose(row[0], full[i], atol=1e-5)
+
+    track = str(tmp_path / "noise.wav")
+    audio_io.save_audio(track, mix, 44100)
+    outputs = sep.separate(track)
+    assert len(outputs) == 1 and "Drums" in outputs[0]
+    assert os.path.exists(os.path.join(out_dir, outputs[0]))
+
+
 def test_demucs_split_matches_direct_apply(oracle_pair):
     """Split overlap-add over a track == reference loop emulation."""
     import logging

@@ -126,6 +126,73 @@ def test_mdxc_separator_end_to_end(synthetic_model, fixtures_dir, tmp_path):
     np.testing.assert_allclose(got_sources["other"], norm_mix - got, atol=1e-6)
 
 
+def test_mdxc_single_stem_fetch_two_stem_model(tmp_path):
+    """output_single_stem on a 2-stem (no target_instrument) model fetches
+    only that stem from device (engine fetch_stems): demix returns a dict
+    restricted to it, values matching the full run; separate writes one file."""
+    from audio_separator_tpu.architectures.mdxc import MDXCSeparator
+
+    torch.manual_seed(11)
+    member, _, _, _ = mel_band_membership(SR, N_FFT, NUM_BANDS)
+    band_bins = [list(np.nonzero(member[i])[0]) for i in range(NUM_BANDS)]
+    oracle = RoformerOracle(
+        kind="mel", band_bins=band_bins, dim=48, depth=1, heads=4, dim_head=16,
+        stereo=True, num_stems=2, t_depth=1, f_depth=1, n_fft=N_FFT, hop=HOP,
+        mask_depth=1,
+    ).eval()
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+    ckpt_path = str(tmp_path / "two_stem_mel_band_roformer.ckpt")
+    torch.save({"state_dict": oracle.state_dict()}, ckpt_path)
+    model_data = {
+        "is_roformer": True,
+        "audio": {"sample_rate": SR, "hop_length": HOP},
+        "model": {
+            "dim": 48, "depth": 1, "stereo": True, "num_stems": 2,
+            "time_transformer_depth": 1, "freq_transformer_depth": 1,
+            "num_bands": NUM_BANDS, "dim_head": 16, "heads": 4,
+            "stft_n_fft": N_FFT, "stft_hop_length": HOP, "stft_win_length": N_FFT,
+            "mask_estimator_depth": 1, "sample_rate": SR,
+        },
+        "training": {"instruments": ["vocals", "other"]},
+        "inference": {"dim_t": DIM_T, "batch_size": 2},
+    }
+
+    def build(single_stem):
+        common = {
+            "logger": logging.getLogger("test"),
+            "model_name": "two_stem_mel_band_roformer",
+            "model_path": ckpt_path,
+            "model_data": model_data,
+            "output_dir": str(tmp_path / "out"),
+            "output_format": "WAV",
+            "normalization_threshold": 0.9,
+            "amplification_threshold": 0.0,
+            "sample_rate": SR,
+            "output_single_stem": single_stem,
+        }
+        arch = {"segment_size": 256, "override_model_segment_size": False,
+                "batch_size": 2, "overlap": 2, "pitch_shift": 0}
+        return MDXCSeparator(common_config=common, arch_config=arch)
+
+    rng = np.random.default_rng(5)
+    mix = (rng.standard_normal((2, SR)) * 0.2).astype(np.float32)
+
+    full = build(None).demix(mix)
+    assert set(full) == {"vocals", "other"}
+    only = build("other").demix(mix)
+    assert set(only) == {"other"}
+    np.testing.assert_allclose(only["other"], full["other"], atol=1e-5)
+
+    in_path = str(tmp_path / "song.wav")
+    audio_io.save_audio(in_path, mix, SR)
+    sep = build("other")
+    outputs = sep.separate(in_path)
+    assert len(outputs) == 1 and "other" in outputs[0].lower()
+    assert os.path.exists(os.path.join(str(tmp_path / "out"), outputs[0]))
+
+
 def test_mdxc_pitch_shift_path(synthetic_model, tmp_path):
     """pitch_shift != 0 takes the resample-trick path (demix at shifted rate,
     restore with _pitch_fix, ref: mdxc_separator.py:230-270) and still returns
