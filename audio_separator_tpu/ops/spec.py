@@ -13,7 +13,7 @@ from typing import List, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from .stft import hann_window, istft, stft
+from .stft import fetch_complex, hann_window, istft, put_complex, stft
 
 MAX_SPEC = "max_spec"
 MIN_SPEC = "min_spec"
@@ -54,12 +54,12 @@ def _stft2048(wave: np.ndarray) -> np.ndarray:
     win = hann_window(_INV_N_FFT)
     spec = stft(jnp.asarray(wave.astype(np.float32)), _INV_N_FFT, _INV_HOP, win,
                 pad_mode="constant")
-    return np.asarray(spec)
+    return fetch_complex(spec)
 
 
 def _istft2048(spec: np.ndarray) -> np.ndarray:
     win = hann_window(_INV_N_FFT)
-    wave = istft(jnp.asarray(spec.astype(np.complex64)), _INV_N_FFT, _INV_HOP, win)
+    wave = istft(put_complex(spec), _INV_N_FFT, _INV_HOP, win)
     out = np.asarray(wave)
     if out.ndim == 1:
         out = np.stack([out, out])

@@ -41,7 +41,46 @@ __all__ = [
     "istft",
     "stft_real_packed",
     "istft_real_packed",
+    "fetch_complex",
+    "put_complex",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Link-safe complex transfer.
+#
+# The axon TPU runtime rejects complex64 arrays in BOTH transfer directions
+# with `UNIMPLEMENTED: TPU backend error` (round-3 finding, reproduced by
+# tools/tpu_op_probe.py) — and the first failed transfer poisons every later
+# op in the process. On-device complex compute is fine; only the host<->device
+# boundary is broken. These helpers cross the link as a stacked float32
+# real/imag pair and form/split the complex array on the device side, so no
+# complex dtype ever touches the transfer path. On CPU they are equivalent
+# (one extra copy) — all host-boundary STFT/iSTFT call sites use them
+# unconditionally.
+
+
+@jax.jit
+def _split_ri(spec: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([jnp.real(spec), jnp.imag(spec)]).astype(jnp.float32)
+
+
+@jax.jit
+def _combine_ri(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.complex(re, im)
+
+
+def fetch_complex(spec_dev) -> np.ndarray:
+    """Device complex array → host ``np.complex64`` without a complex transfer."""
+    ri = np.asarray(_split_ri(spec_dev))
+    return (ri[0] + 1j * ri[1]).astype(np.complex64, copy=False)
+
+
+def put_complex(spec_np: np.ndarray) -> jnp.ndarray:
+    """Host complex array → device ``complex64`` without a complex transfer."""
+    re = jnp.asarray(np.ascontiguousarray(spec_np.real, dtype=np.float32))
+    im = jnp.asarray(np.ascontiguousarray(spec_np.imag, dtype=np.float32))
+    return _combine_ri(re, im)
 
 
 def hann_window(n: int, periodic: bool = True, dtype=jnp.float32) -> jnp.ndarray:

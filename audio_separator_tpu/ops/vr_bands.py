@@ -18,19 +18,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .resample import resample_poly_np
-from .stft import hann_window, istft, stft
+from .stft import fetch_complex, hann_window, istft, put_complex, stft
 
 
 def _stft_np(wave: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
     win = hann_window(n_fft)
-    return np.asarray(stft(jnp.asarray(wave.astype(np.float32)), n_fft, hop, win,
-                           pad_mode="constant")).astype(np.complex64)
+    return fetch_complex(stft(jnp.asarray(wave.astype(np.float32)), n_fft, hop,
+                              win, pad_mode="constant"))
 
 
 def _istft_np(spec: np.ndarray, hop: int) -> np.ndarray:
     n_fft = (spec.shape[-2] - 1) * 2
     win = hann_window(n_fft)
-    return np.asarray(istft(jnp.asarray(spec.astype(np.complex64)), n_fft, hop, win))
+    return np.asarray(istft(put_complex(spec), n_fft, hop, win))
 
 
 def convert_channels(spec: np.ndarray, mp: Dict, band: int) -> np.ndarray:

@@ -14,7 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import spec as spec_ops
-from ..ops.stft import hann_window, istft, stft
+from ..ops.stft import fetch_complex, hann_window, istft, put_complex, stft
 
 ALGORITHMS = (
     "avg_wave", "median_wave", "min_wave", "max_wave",
@@ -108,8 +108,8 @@ class Ensembler:
         elif wave.shape[0] == 1:
             wave = np.vstack([wave, wave])
         win = hann_window(_N_FFT)
-        return np.asarray(stft(jnp.asarray(wave.astype(np.float32)), _N_FFT, _HOP,
-                               win, pad_mode="constant"))
+        return fetch_complex(stft(jnp.asarray(wave.astype(np.float32)), _N_FFT,
+                                  _HOP, win, pad_mode="constant"))
 
     def _ensemble_fft(self, waveforms, weights) -> np.ndarray:
         channels = waveforms[0].shape[0]
@@ -129,7 +129,7 @@ class Ensembler:
             else:
                 out = _select_by(specs, 0, np.abs, use_max=True)
         win = hann_window(_N_FFT)
-        wave = np.asarray(istft(jnp.asarray(out.astype(np.complex64)), _N_FFT, _HOP,
+        wave = np.asarray(istft(put_complex(out), _N_FFT, _HOP,
                                 win, length=final_len))
         if channels == 1:
             wave = wave[:1, :]

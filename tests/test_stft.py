@@ -131,3 +131,33 @@ def test_matmul_dft_matches_fft(monkeypatch):
     finally:
         stft_mod.stft.clear_cache()
         stft_mod.istft.clear_cache()
+
+
+def test_complex_link_helpers_roundtrip():
+    """fetch_complex/put_complex must be exact and never expose a complex
+    dtype to the transfer layer (the axon TPU runtime rejects complex64 in
+    both directions — tools/tpu_op_probe.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_separator_tpu.ops.stft import fetch_complex, put_complex
+
+    rng = np.random.default_rng(7)
+    host = (rng.standard_normal((3, 65, 17))
+            + 1j * rng.standard_normal((3, 65, 17))).astype(np.complex64)
+
+    dev = put_complex(host)
+    assert dev.dtype == jnp.complex64
+    back = fetch_complex(dev)
+    assert back.dtype == np.complex64
+    np.testing.assert_array_equal(back, host)
+
+    # non-contiguous host views (e.g. a transposed spectrogram) upload too
+    view = host.transpose(0, 2, 1)
+    np.testing.assert_array_equal(fetch_complex(put_complex(view)), view)
+
+    # fetch of a freshly computed device array
+    spec = jax.jit(lambda v: jax.lax.complex(v, -2.0 * v))(
+        jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32)))
+    got = fetch_complex(spec)
+    np.testing.assert_allclose(got.real, -got.imag / 2.0, rtol=1e-6)

@@ -21,9 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def probe(name, fn, *args):
+def probe(name, fn, *args, jit=True):
     try:
-        out = jax.jit(fn)(*args)
+        out = (jax.jit(fn) if jit else fn)(*args)
         jax.block_until_ready(out)
         # axon: block_until_ready is unreliable; force a scalar readback
         float(jnp.sum(jnp.asarray(out)[..., :1]))
@@ -71,6 +71,22 @@ def main():
               a, b, (2, 2), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")),
           x, wt)
 
+    # Complex transfers — the actual round-3 culprit: the axon runtime
+    # rejects complex64 in BOTH directions (compute on device is fine), and
+    # the first failed transfer poisons every later op in the process. Probe
+    # LAST for that reason. Product code crosses the link via
+    # ops/stft.fetch_complex / put_complex (stacked float32 real/imag).
+    def _fetch_complex_roundtrip(a):
+        import jax.numpy as jnp
+        from audio_separator_tpu.ops.stft import fetch_complex
+
+        c = jax.jit(lambda v: jax.lax.complex(v, -v))(a)
+        host = fetch_complex(c)
+        assert host.dtype == np.complex64
+        return jnp.zeros(())
+
+    probe("fetch_complex(split-ri)", _fetch_complex_roundtrip, x[0, 0], jit=False)
+
     # LSTM-style matmul scan (VR v51 bridge)
     def scan_mm(a):
         def step(c, t):
@@ -79,6 +95,20 @@ def main():
         return jax.lax.scan(step, jnp.zeros((8, 128), a.dtype),
                             jnp.ones((16, 8, 128), a.dtype))[1]
     probe("scan_matmul", scan_mm, x)
+
+    # Raw complex transfers, LAST: on axon these fail with UNIMPLEMENTED and
+    # poison the process — nothing below them would be trustworthy.
+    def _complex_d2h(a):
+        c = jax.jit(lambda v: jax.lax.complex(v, v))(a)
+        np.asarray(c)  # D2H of complex64
+        return jnp.zeros(())
+
+    def _complex_h2d(a):
+        up = jnp.asarray(np.zeros((4, 4), np.complex64))  # H2D of complex64
+        return jnp.sum(jnp.abs(up))
+
+    probe("complex64_D2H", _complex_d2h, x[0, 0], jit=False)
+    probe("complex64_H2D", _complex_h2d, x[0, 0], jit=False)
 
 
 if __name__ == "__main__":
