@@ -442,7 +442,12 @@ def tiled_mask_predict(
     spec_buf = np.zeros((c, f, t_need), dtype=np.float32)
     spec_buf[:, :, : min(t, t_need)] = spec[:, :, : min(t, t_need)]
 
-    spec_dev = jnp.asarray(spec_buf)  # one upload, shared by every batch
+    from .stft import fetch_real, put_real
+
+    # One upload shared by every batch; honours AUDSEP_LINK_QUANT (int16/int8
+    # across the wire, dequantised on device — magnitudes are non-negative
+    # with bounded dynamic range after the caller's /max normalisation).
+    spec_dev = put_real(spec_buf)
     tile_idx = np.arange(n_pad, dtype=np.int32)
     handles = [
         _tile_batch(model_fn, model_params, spec_dev,
@@ -454,7 +459,7 @@ def tiled_mask_predict(
         for i in range(0, n_pad, batch_size) if i < n
     ]  # async: all batches in flight before the first fetch blocks
     mask = np.concatenate(
-        [np.asarray(h).transpose(1, 2, 0, 3).reshape(out_c, out_f, -1)
+        [fetch_real(h).transpose(1, 2, 0, 3).reshape(out_c, out_f, -1)
          for h in handles], axis=-1)
     return mask[:, :, : n * roi]
 

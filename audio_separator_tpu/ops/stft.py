@@ -26,6 +26,7 @@ Everything here is shape-static and jit/vmap/scan friendly.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -70,14 +71,79 @@ def _combine_ri(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(re, im)
 
 
-def fetch_complex(spec_dev) -> np.ndarray:
-    """Device complex array → host ``np.complex64`` without a complex transfer."""
-    ri = np.asarray(_split_ri(spec_dev))
+def link_quant_mode() -> str:
+    """Deployment-wide link quantisation (same knob as the demix engine,
+    ops/demix.py): ``AUDSEP_LINK_QUANT`` = off (default) | int16 | int8.
+    Read per call so a mid-process change takes effect on the next
+    separation."""
+    mode = os.environ.get("AUDSEP_LINK_QUANT", "").strip().lower()
+    return mode if mode in ("int16", "int8") else ""
+
+
+# Quantiser constants match ops/demix._quantize_upload: ~90 dB SNR vs peak
+# for int16, ~48 dB for int8.
+_QSCALE = {"int16": 32000.0, "int8": 120.0}
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _quant_dev(x: jnp.ndarray, mode: str):
+    x = x.astype(jnp.float32)
+    peak = jnp.maximum(jnp.max(jnp.abs(x)), 1e-30)
+    scale = _QSCALE[mode] / peak
+    q = jnp.round(x * scale)
+    return q.astype(jnp.int16 if mode == "int16" else jnp.int8), 1.0 / scale
+
+
+@jax.jit
+def _dequant_dev(q: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    return q.astype(jnp.float32) * inv
+
+
+def fetch_real(x_dev, quant: str | None = None) -> np.ndarray:
+    """Device float array → host float32; optional quantised transfer."""
+    mode = link_quant_mode() if quant is None else (quant or "")
+    if mode:
+        q, inv = _quant_dev(x_dev, mode)
+        return np.asarray(q).astype(np.float32) * float(inv)
+    return np.asarray(x_dev)
+
+
+def put_real(x_np: np.ndarray, quant: str | None = None) -> jnp.ndarray:
+    """Host float array → device float32; optional quantised transfer
+    (dequantised on device — the consumer sees float32 either way)."""
+    mode = link_quant_mode() if quant is None else (quant or "")
+    x_np = np.ascontiguousarray(x_np, dtype=np.float32)
+    if mode:
+        peak = max(float(np.max(np.abs(x_np))), 1e-30)
+        scale = _QSCALE[mode] / peak
+        q = np.round(x_np * scale).astype(
+            np.int16 if mode == "int16" else np.int8)
+        return _dequant_dev(jnp.asarray(q), jnp.float32(1.0 / scale))
+    return jnp.asarray(x_np)
+
+
+def fetch_complex(spec_dev, quant: str | None = None) -> np.ndarray:
+    """Device complex array → host ``np.complex64`` without a complex
+    transfer (the axon runtime rejects complex64 both ways). With link
+    quantisation on, the stacked real/imag pair additionally crosses as
+    int16/int8 + one scalar scale."""
+    mode = link_quant_mode() if quant is None else (quant or "")
+    if mode:
+        q, inv = _quant_dev(_split_ri(spec_dev), mode)
+        ri = np.asarray(q).astype(np.float32) * float(inv)
+    else:
+        ri = np.asarray(_split_ri(spec_dev))
     return (ri[0] + 1j * ri[1]).astype(np.complex64, copy=False)
 
 
-def put_complex(spec_np: np.ndarray) -> jnp.ndarray:
+def put_complex(spec_np: np.ndarray, quant: str | None = None) -> jnp.ndarray:
     """Host complex array → device ``complex64`` without a complex transfer."""
+    mode = link_quant_mode() if quant is None else (quant or "")
+    if mode:
+        ri = np.stack([np.ascontiguousarray(spec_np.real, dtype=np.float32),
+                       np.ascontiguousarray(spec_np.imag, dtype=np.float32)])
+        pair = put_real(ri, quant=mode)
+        return _combine_ri(pair[0], pair[1])
     re = jnp.asarray(np.ascontiguousarray(spec_np.real, dtype=np.float32))
     im = jnp.asarray(np.ascontiguousarray(spec_np.imag, dtype=np.float32))
     return _combine_ri(re, im)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .resample import resample_poly_np
-from .stft import fetch_complex, hann_window, istft, put_complex, stft
+from .stft import fetch_complex, fetch_real, hann_window, istft, put_complex, stft
 
 
 def _stft_np(wave: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
@@ -30,7 +30,7 @@ def _stft_np(wave: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
 def _istft_np(spec: np.ndarray, hop: int) -> np.ndarray:
     n_fft = (spec.shape[-2] - 1) * 2
     win = hann_window(n_fft)
-    return np.asarray(istft(put_complex(spec), n_fft, hop, win))
+    return fetch_real(istft(put_complex(spec), n_fft, hop, win))
 
 
 def convert_channels(spec: np.ndarray, mp: Dict, band: int) -> np.ndarray:

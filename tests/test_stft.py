@@ -161,3 +161,50 @@ def test_complex_link_helpers_roundtrip():
         jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32)))
     got = fetch_complex(spec)
     np.testing.assert_allclose(got.real, -got.imag / 2.0, rtol=1e-6)
+
+
+def test_link_quant_transfers():
+    """AUDSEP_LINK_QUANT=int16/int8 transfers dequantise to the documented
+    SNR (matching ops/demix's quantiser constants) and stay off by default."""
+    import jax.numpy as jnp
+
+    from audio_separator_tpu.ops.stft import (
+        fetch_complex, fetch_real, istft, put_complex, put_real, stft,
+        hann_window)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 3001)).astype(np.float32)
+
+    def snr(ref, got):
+        return 10 * np.log10(np.sum(ref ** 2) / (np.sum((ref - got) ** 2) + 1e-30))
+
+    # explicit quant arg (env-independent)
+    for mode, floor in (("int16", 80.0), ("int8", 38.0)):
+        got = fetch_real(put_real(x, quant=mode), quant="")
+        assert snr(x, got) > floor, (mode, snr(x, got))
+
+    # default mode is off: bit-exact
+    np.testing.assert_array_equal(fetch_real(put_real(x)), x)
+
+    # complex spec round trip through the quantised link, then back to audio
+    win = hann_window(256)
+    spec = stft(jnp.asarray(x), 256, 64, win)
+    host_spec = fetch_complex(spec, quant="int16")
+    y = fetch_real(istft(put_complex(host_spec, quant="int16"), 256, 64, win,
+                         length=x.shape[-1]), quant="")
+    assert snr(x, y) > 75.0, snr(x, y)
+
+    # env knob routes every helper (monkeypatch-free: set and restore)
+    import os
+
+    old = os.environ.get("AUDSEP_LINK_QUANT")
+    os.environ["AUDSEP_LINK_QUANT"] = "int16"
+    try:
+        dev = put_real(x)
+        assert snr(x, np.asarray(dev)) > 80.0
+        assert not np.array_equal(np.asarray(dev), x)  # actually quantised
+    finally:
+        if old is None:
+            del os.environ["AUDSEP_LINK_QUANT"]
+        else:
+            os.environ["AUDSEP_LINK_QUANT"] = old
