@@ -408,7 +408,8 @@ def run_ref_mdx(torch_model, mix: np.ndarray, *, n_fft: int, hop_length: int,
 
 def run_our_mdx(onnx_path: str, model_data: dict, mix: np.ndarray,
                 out_dir: str, segment_size: int, overlap: float = 0.25,
-                batch_size: int = 2) -> Dict[str, np.ndarray]:
+                batch_size: int = 2, enable_denoise: bool = False
+                ) -> Dict[str, np.ndarray]:
     from audio_separator_tpu.architectures.mdx import MDXSeparator
 
     os.makedirs(out_dir, exist_ok=True)
@@ -425,7 +426,7 @@ def run_our_mdx(onnx_path: str, model_data: dict, mix: np.ndarray,
     }
     arch = {"segment_size": segment_size, "overlap": overlap,
             "batch_size": batch_size, "hop_length": 1024,
-            "enable_denoise": False}
+            "enable_denoise": enable_denoise}
     arch["hop_length"] = model_data.get("hop_length", 1024)
     sep = MDXSeparator(common_config=common, arch_config=arch)
     input_path = _write_wav(mix, out_dir)
@@ -494,7 +495,8 @@ class ScalableConvTDF(torch.nn.Module):
         return self.final(x)
 
 
-def mdx_case(geometry: dict, seconds: float, tmp_dir: str, seed: int = 0
+def mdx_case(geometry: dict, seconds: float, tmp_dir: str, seed: int = 0,
+             enable_denoise: bool = False
              ) -> Tuple[Dict[str, StemDelta], dict]:
     """geometry: n_fft, dim_f, dim_t_log2, segment_size, hop_length,
     channels, scales, compensate."""
@@ -528,18 +530,19 @@ def mdx_case(geometry: dict, seconds: float, tmp_dir: str, seed: int = 0
         model, mix, n_fft=geometry["n_fft"],
         hop_length=model_data["hop_length"], dim_f=dim_f,
         segment_size=segment, overlap=geometry.get("overlap", 0.25),
-        compensate=model_data["compensate"])
+        compensate=model_data["compensate"], enable_denoise=enable_denoise)
     got_files = run_our_mdx(onnx_path, model_data, mix,
                             os.path.join(tmp_dir, "out_mdx"),
                             segment_size=segment,
-                            overlap=geometry.get("overlap", 0.25))
+                            overlap=geometry.get("overlap", 0.25),
+                            enable_denoise=enable_denoise)
     got_stems = {"primary": None, "secondary": None}
     for name, pcm in got_files.items():
         key = "primary" if name.lower() == "instrumental" else "secondary"
         got_stems[key] = pcm
     deltas = compare_stems(
         {k: ref_stems[k] for k in ("primary", "secondary")}, got_stems)
-    meta = {"kind": "mdx", "seconds": seconds,
+    meta = {"kind": "mdx", "seconds": seconds, "denoise": enable_denoise,
             "params_m": round(sum(p.numel() for p in model.parameters()) / 1e6, 2),
             **geometry}
     return deltas, meta

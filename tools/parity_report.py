@@ -87,6 +87,19 @@ def main():
         return vr_case("4band_v2", 33966, seconds=args.seconds, tmp_dir=tmp,
                        window_size=512, aggression=5, enable_tta=True)
 
+    def vr_4band_full(tmp):
+        # every post-inference flag on: TTA + artifact post-process +
+        # high-end mirroring, at a hotter aggression setting
+        return vr_case("4band_v2", 33966, seconds=args.seconds, tmp_dir=tmp,
+                       window_size=512, aggression=10, enable_tta=True,
+                       enable_post_process=True, high_end_process=True)
+
+    def mdx_hq3_denoise(tmp):
+        geom = dict(n_fft=6144, dim_f=2560, dim_t_log2=8, segment_size=256,
+                    hop_length=1024, channels=24, scales=3, compensate=1.022)
+        return mdx_case(geom, seconds=args.seconds, tmp_dir=tmp,
+                        enable_denoise=True)
+
     def htdemucs(tmp):
         geom = dict(channels=48, nfft=4096, depth=4, t_layers=5, t_heads=8,
                     segment=7.8, t_dropout=0.0)
@@ -97,6 +110,8 @@ def main():
         "mel_roformer_kim": mel_kim,
         "mdx_inst_hq3": mdx_hq3,
         "vr_4band_v2": vr_4band,
+        "vr_4band_full": vr_4band_full,
+        "mdx_hq3_denoise": mdx_hq3_denoise,
         "htdemucs": htdemucs,
     }
     selected = ([c.strip() for c in args.cases.split(",") if c.strip()]
