@@ -155,6 +155,19 @@ FLAGSHIP_FREQS_PER_BANDS = tuple(
 )
 
 
+def mel_kim_config() -> RoformerConfig:
+    """Mel-Band RoFormer at Kim-vocal geometry
+    (ref: vocals_mel_band_roformer.ckpt YAML: dim 384 / depth 6 / 60 mel
+    bands / n_fft 2048 / hop 441)."""
+    return RoformerConfig(
+        kind="mel", dim=384, depth=6, stereo=True, num_stems=2,
+        time_transformer_depth=1, freq_transformer_depth=1,
+        num_bands=60, sample_rate=44100, dim_head=64, heads=8,
+        stft_n_fft=2048, stft_hop_length=441, stft_win_length=2048,
+        mask_estimator_depth=2,
+    )
+
+
 def flagship_config(segment_frames: int = 801) -> RoformerConfig:
     """BS-RoFormer ep_317-class flagship configuration (viperx 1297 family):
     dim 512 / depth 12 / stereo / 2 stems / n_fft 2048 / hop 441."""

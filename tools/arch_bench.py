@@ -259,6 +259,47 @@ def bench_htdemucs(tmp, mix, passes):
                     "shift passes"}
 
 
+def bench_mel_kim(tmp, mix, passes):
+    """Mel-Band RoFormer at Kim-vocal geometry (the second half of the
+    BASELINE 'MDXC BS-/Mel-RoFormer vocals' config; bench.py covers BS)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from audio_separator_tpu.models.init_params import (
+        init_roformer_params_device, mel_kim_config)
+    from audio_separator_tpu.models.roformer import apply_roformer
+    from audio_separator_tpu.ops.demix import overlap_add_demix
+    from audio_separator_tpu.ops.stft import hamming_window
+
+    cfg = mel_kim_config()
+    chunk = cfg.stft_hop_length * 800
+    step = min(8 * SR, chunk)
+    window = np.asarray(hamming_window(chunk))
+    params = init_roformer_params_device(cfg, seed=0, dtype=jnp.bfloat16)
+    jax.block_until_ready(params)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    def model_fn(p, chunks):
+        out = apply_roformer(p, cfg, chunks, compute_dtype=jnp.bfloat16)
+        return out[..., : chunks.shape[-1]]
+
+    def run():
+        out = overlap_add_demix(model_fn, mix, chunk, step, window,
+                                num_stems=cfg.num_stems, batch_size=4,
+                                model_params=params)
+        assert np.isfinite(out).all()
+
+    best, warm = _measure(run, True, passes)
+    track_s = mix.shape[-1] / SR
+    return {"rtf": round(track_s / best, 2),
+            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
+            "geometry": {"dim": 384, "depth": 6, "num_bands": 60,
+                         "n_fft": 2048, "hop": 441,
+                         "params_m": round(n_params / 1e6, 1)},
+            "note": "full e2e demix (upload + scan + fetch), int16 defaults"}
+
+
 def bench_ensemble_batch(tmp, mix, passes):
     import numpy as np
     import jax
@@ -338,6 +379,7 @@ def main():
         "mdx_inst_hq3": bench_mdx,
         "vr_4band_hp2": bench_vr,
         "htdemucs": bench_htdemucs,
+        "mel_kim": bench_mel_kim,
         "ensemble_batch": bench_ensemble_batch,
     }
     selected = ([c.strip() for c in args.configs.split(",") if c.strip()]
