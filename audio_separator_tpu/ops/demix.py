@@ -169,11 +169,13 @@ def _quantize_upload(mix_buf: np.ndarray, quantized_upload: bool | str):
     """
     if not quantized_upload:
         return mix_buf, np.float32(1.0)
+    from .stft import _QSCALE  # single source for the quantiser constants
+
     peak = max(float(np.max(np.abs(mix_buf))), 1e-9)
     if quantized_upload == "int8":
-        up_scale = 120.0 / peak
+        up_scale = _QSCALE["int8"] / peak
         return np.round(mix_buf * up_scale).astype(np.int8), np.float32(1.0 / up_scale)
-    up_scale = 32000.0 / peak
+    up_scale = _QSCALE["int16"] / peak
     return np.round(mix_buf * up_scale).astype(np.int16), np.float32(1.0 / up_scale)
 
 
@@ -258,19 +260,16 @@ def overlap_add_demix(
 
     if quantized_transfer is None or quantized_upload is None:
         # Deployment-wide link policy for callers that don't choose:
-        # AUDSEP_LINK_QUANT = off (default) | int16 | int8. Lets tethered /
-        # bandwidth-starved hosts get the quantised-transfer win on every
-        # production separation without threading a flag through every
-        # architecture. Explicit arguments (e.g. bench A/Bs) are unaffected.
-        import os
+        # AUDSEP_LINK_QUANT = off (default) | int16 | int8 (parsed once, in
+        # ops/stft.link_quant_mode). Lets tethered / bandwidth-starved hosts
+        # get the quantised-transfer win on every production separation
+        # without threading a flag through every architecture. Explicit
+        # arguments (e.g. bench A/Bs) are unaffected. int8 deliberately
+        # keeps the *upload* at int16: the upload quantises the model's
+        # input, the fetch only its output.
+        from .stft import link_quant_mode
 
-        lq = os.environ.get("AUDSEP_LINK_QUANT", "").strip().lower()
-        if lq and lq not in ("int16", "int8", "off"):
-            import logging
-
-            logging.getLogger(__name__).warning(
-                f"ignoring unrecognised AUDSEP_LINK_QUANT={lq!r} "
-                f"(expected int16/int8/off); transfers stay float")
+        lq = link_quant_mode()
         if quantized_transfer is None:
             quantized_transfer = {"int16": True, "int8": "int8"}.get(lq, False)
         if quantized_upload is None:
@@ -442,12 +441,14 @@ def tiled_mask_predict(
     spec_buf = np.zeros((c, f, t_need), dtype=np.float32)
     spec_buf[:, :, : min(t, t_need)] = spec[:, :, : min(t, t_need)]
 
-    from .stft import fetch_real, put_real
+    from .stft import fetch_real, link_quant_mode, put_real
 
-    # One upload shared by every batch; honours AUDSEP_LINK_QUANT (int16/int8
-    # across the wire, dequantised on device — magnitudes are non-negative
-    # with bounded dynamic range after the caller's /max normalisation).
-    spec_dev = put_real(spec_buf)
+    # One upload shared by every batch; honours AUDSEP_LINK_QUANT. Same
+    # policy as overlap_add_demix: the upload is the MODEL'S INPUT, so int8
+    # mode still ships it at int16 (only the mask fetch drops to int8) —
+    # magnitudes are bounded after the caller's /max normalisation.
+    lq = link_quant_mode()
+    spec_dev = put_real(spec_buf, quant="int16" if lq == "int8" else lq)
     tile_idx = np.arange(n_pad, dtype=np.int32)
     handles = [
         _tile_batch(model_fn, model_params, spec_dev,

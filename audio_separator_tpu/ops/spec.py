@@ -13,7 +13,8 @@ from typing import List, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from .stft import fetch_complex, hann_window, istft, put_complex, stft
+from .stft import (fetch_complex, fetch_real, hann_window, istft,
+                   put_complex, stft)
 
 MAX_SPEC = "max_spec"
 MIN_SPEC = "min_spec"
@@ -60,7 +61,7 @@ def _stft2048(wave: np.ndarray) -> np.ndarray:
 def _istft2048(spec: np.ndarray) -> np.ndarray:
     win = hann_window(_INV_N_FFT)
     wave = istft(put_complex(spec), _INV_N_FFT, _INV_HOP, win)
-    out = np.asarray(wave)
+    out = fetch_real(wave)
     if out.ndim == 1:
         out = np.stack([out, out])
     return out

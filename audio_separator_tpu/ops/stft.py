@@ -72,12 +72,25 @@ def _combine_ri(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
 
 
 def link_quant_mode() -> str:
-    """Deployment-wide link quantisation (same knob as the demix engine,
-    ops/demix.py): ``AUDSEP_LINK_QUANT`` = off (default) | int16 | int8.
-    Read per call so a mid-process change takes effect on the next
-    separation."""
+    """Deployment-wide link quantisation — the single parser for the
+    ``AUDSEP_LINK_QUANT`` knob (= off (default) | int16 | int8), shared with
+    the demix engine. Read per call so a mid-process change takes effect on
+    the next separation; unrecognised values warn once per process and mean
+    off."""
     mode = os.environ.get("AUDSEP_LINK_QUANT", "").strip().lower()
-    return mode if mode in ("int16", "int8") else ""
+    if mode in ("int16", "int8"):
+        return mode
+    if mode and mode != "off" and mode not in _warned_link_quant:
+        import logging
+
+        _warned_link_quant.add(mode)
+        logging.getLogger(__name__).warning(
+            f"ignoring unrecognised AUDSEP_LINK_QUANT={mode!r} "
+            f"(expected int16/int8/off); transfers stay float")
+    return ""
+
+
+_warned_link_quant: set = set()
 
 
 # Quantiser constants match ops/demix._quantize_upload: ~90 dB SNR vs peak

@@ -14,7 +14,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import spec as spec_ops
-from ..ops.stft import fetch_complex, hann_window, istft, put_complex, stft
+from ..ops.stft import (fetch_complex, fetch_real, hann_window, istft,
+                        put_complex, stft)
 
 ALGORITHMS = (
     "avg_wave", "median_wave", "min_wave", "max_wave",
@@ -129,7 +130,7 @@ class Ensembler:
             else:
                 out = _select_by(specs, 0, np.abs, use_max=True)
         win = hann_window(_N_FFT)
-        wave = np.asarray(istft(put_complex(out), _N_FFT, _HOP,
+        wave = fetch_real(istft(put_complex(out), _N_FFT, _HOP,
                                 win, length=final_len))
         if channels == 1:
             wave = wave[:1, :]

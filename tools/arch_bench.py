@@ -297,7 +297,8 @@ def bench_mel_kim(tmp, mix, passes):
             "geometry": {"dim": 384, "depth": 6, "num_bands": 60,
                          "n_fft": 2048, "hop": 441,
                          "params_m": round(n_params / 1e6, 1)},
-            "note": "full e2e demix (upload + scan + fetch), int16 defaults"}
+            "note": "full e2e demix (upload + scan + fetch), link_quant="
+                    + (os.environ.get("AUDSEP_LINK_QUANT") or "off")}
 
 
 def bench_ensemble_batch(tmp, mix, passes):

@@ -26,7 +26,7 @@ def probe(name, fn, *args, jit=True):
         out = (jax.jit(fn) if jit else fn)(*args)
         jax.block_until_ready(out)
         # axon: block_until_ready is unreliable; force a scalar readback
-        float(jnp.sum(jnp.asarray(out)[..., :1]))
+        float(jnp.sum(jnp.asarray(out).ravel()[:1]))
         print(f"  OK   {name}", flush=True)
         return True
     except Exception as exc:
@@ -107,8 +107,12 @@ def main():
         up = jnp.asarray(np.zeros((4, 4), np.complex64))  # H2D of complex64
         return jnp.sum(jnp.abs(up))
 
-    probe("complex64_D2H", _complex_d2h, x[0, 0], jit=False)
-    probe("complex64_H2D", _complex_h2d, x[0, 0], jit=False)
+    # Slice the operand BEFORE the poisoning probes: an eager x[0, 0]
+    # between them would itself die on the poisoned process.
+    row = x[0, 0] + 0.0
+    float(jnp.sum(row.ravel()[:1]))
+    probe("complex64_D2H", _complex_d2h, row, jit=False)
+    probe("complex64_H2D", _complex_h2d, row, jit=False)
 
 
 if __name__ == "__main__":
