@@ -150,11 +150,26 @@ class MDXSeparator(BaseSeparator):
             divider[start : start + actual] += w
         divider = np.maximum(divider, 1e-10)
 
+        # Mix-resident token: separate() runs the SAME padded mixture through
+        # the engine twice (primary pass + match-mix pass with a different
+        # step) — with a token the second pass slices the device-resident mix
+        # instead of re-crossing the H2D link (ops/demix.py mix cache). The
+        # token is the file identity PLUS a fingerprint of the actual mix
+        # bytes handed to this call: demix() is public API and may be called
+        # with arbitrary slices that must not hit the file's cache entries.
+        mix_token = getattr(self, "_mix_token", None)
+        if mix_token is not None:
+            import hashlib
+
+            fp = hashlib.blake2b(np.ascontiguousarray(mix[:, ::2048]).tobytes(),
+                                 digest_size=8).hexdigest()
+            mix_token = mix_token + (mix.shape[-1], fp, chunk_size, self.trim)
         out = overlap_add_demix(
             self._model_fn(is_match_mix), mixture, chunk_size, step, windows,
             num_stems=1, batch_size=max(1, int(self.batch_size)),
             positions=positions, divider=divider,
             model_params=self._onnx_params, mesh=self.mesh,
+            mix_token=mix_token,
         )
         tar_waves = out[0][:, self.trim : -self.trim][:, : mix.shape[-1]]
         return tar_waves
@@ -171,6 +186,16 @@ class MDXSeparator(BaseSeparator):
         peak = np.abs(mix).max()
         mix = spec_ops.normalize(mix, self.normalization_threshold,
                                  self.amplification_threshold)
+        # Content identity for the engine's device-resident mix cache: file
+        # identity + every parameter that changes the mixture bytes.
+        try:
+            from ..ops.fn_cache import file_key
+
+            self._mix_token = ("mdx-mix", file_key(audio_file_path),
+                               float(self.normalization_threshold),
+                               float(self.amplification_threshold))
+        except OSError:
+            self._mix_token = None
 
         source = self.demix(mix) * peak
 

@@ -149,11 +149,13 @@ def _demix_scan(
     # far below model noise. "int8" halves D2H again at ~48 dB SNR vs the
     # peak: still ≪ separation error (SDR impact < 1e-3 dB), opt-in for
     # bandwidth-starved tethered links.
+    from .stft import _QSCALE  # single source for the quantiser constants
+
     peak = jnp.maximum(jnp.max(jnp.abs(acc)), 1e-9)
     if quantized_transfer == "int8":
-        scale = 120.0 / peak
+        scale = _QSCALE["int8"] / peak
         return jnp.round(acc * scale).astype(jnp.int8), scale
-    scale = 32000.0 / peak
+    scale = _QSCALE["int16"] / peak
     return jnp.round(acc * scale).astype(jnp.int16), scale
 
 
@@ -197,6 +199,7 @@ def overlap_add_demix(
     pipeline_segments: int | None = None,
     quantized_upload: bool | str | None = None,
     fetch_stems: tuple | None = None,
+    mix_token=None,
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
 
@@ -236,6 +239,15 @@ def overlap_add_demix(
     the bytes, ~48 dB SNR — quantises the model's *input*, so opt-in for
     bandwidth-starved links; ``AUDSEP_LINK_QUANT=int8`` deliberately keeps
     the upload at int16 and only drops the fetch to int8).
+
+    ``mix_token``: opaque hashable identifying the mix's content. When a
+    separation runs the SAME mix through the engine more than once (MDX
+    match-mix second pass, denoise's paired run, ensemble members sharing a
+    file), passing the same token lets the engine reuse the already-uploaded
+    device-resident mix segments instead of re-crossing the H2D link. The
+    token must change whenever the mix bytes change (e.g. derive it from the
+    audio path + any preprocessing parameters). ``None`` (default) disables
+    reuse.
 
     Always pass the weight pytree via ``model_params`` rather than closing
     over device arrays: closed-over arrays are baked into the jaxpr as
@@ -283,16 +295,16 @@ def overlap_add_demix(
 
         env = os.environ.get("AUDSEP_PIPELINE")
         try:
-            cap = int(env) if env else 4
+            cap = int(env) if env else 8
         except ValueError:
             # A config typo ("off", "auto", "2.5") must not crash every
             # separation — warn and fall back to the default depth.
             import logging
 
             logging.getLogger(__name__).warning(
-                f"ignoring non-integer AUDSEP_PIPELINE={env!r}; using 4")
-            cap = 4
-        pipeline_segments = min(cap, max(1, n // (2 * batch_size)))
+                f"ignoring non-integer AUDSEP_PIPELINE={env!r}; using 8")
+            cap = 8
+        pipeline_segments = _auto_segments(n, batch_size, cap, bucket)
     if mesh is not None:
         # Round the per-step batch up to the data-axis extent so every device
         # holds at least one window per step.
@@ -302,7 +314,7 @@ def overlap_add_demix(
             model_fn, mix, chunk, window, shared_window, positions, divider,
             num_stems, batch_size, quantized_transfer, quantized_upload,
             model_params, pipeline_segments, bucket, mesh, data_axis,
-            fetch_stems=fetch_stems)
+            fetch_stems=fetch_stems, mix_token=mix_token)
 
     # Device buffer must fit every gathered/accumulated window.
     t_buf = max(total, int(positions.max()) + chunk)
@@ -334,13 +346,25 @@ def overlap_add_demix(
         windows_dev = np.zeros((n_pad, chunk), dtype=np.float32)
         windows_dev[:n] = window
 
-    mix_dev, inv_scale = _quantize_upload(mix_buf, quantized_upload)
+    mix_seg_cache = _mix_segments_for_token(mix_token)
+    up_mode = ("int8" if quantized_upload == "int8"
+               else "int16" if quantized_upload else "f32")
+    ck = (0, t_buf, up_mode)
+    cached = mix_seg_cache.get(ck) if mix_seg_cache is not None else None
+    if cached is not None:
+        mix_dev, inv_scale = cached
+    else:
+        mix_q, inv_scale_np = _quantize_upload(mix_buf, quantized_upload)
+        mix_dev = jnp.asarray(mix_q)
+        inv_scale = jnp.asarray(inv_scale_np)
+        if mix_seg_cache is not None:
+            mix_seg_cache[ck] = (mix_dev, inv_scale)
 
     acc, scale = _demix_scan(
         model_fn,
         model_params,
-        jnp.asarray(mix_dev),
-        jnp.asarray(inv_scale),
+        mix_dev,
+        inv_scale,
         jnp.asarray(positions_padded),
         jnp.asarray(windows_dev),
         jnp.asarray(row_scale),
@@ -420,10 +444,18 @@ def tiled_mask_predict(
     mesh=None,
     data_axis: str = "data",
     bucket: bool = True,
+    quantized_transfer: bool | str | None = None,
 ) -> np.ndarray:
     """Run tiled mask inference over ``spec (C, F, T_pad)`` → mask
     ``(out_c, out_f, n_tiles*roi)`` where ``roi = window - 2*offset`` and
     ``n_tiles = (T_pad - 2*offset) // roi``.
+
+    ``quantized_transfer`` mirrors ``overlap_add_demix``: ``None`` follows the
+    deployment-wide ``AUDSEP_LINK_QUANT`` policy, an explicit value overrides
+    it for this call (A/B and parity runs must be able to opt back to exact
+    transfers in a process with the env var set). The mode is resolved ONCE
+    and applied to both directions — the upload (the model's input) never
+    drops below int16.
 
     The tile count is bucketed (``bucket_up``) so nearby track lengths (and a
     TTA pass's half-window shift) reuse one compiled program; dummy tiles
@@ -443,11 +475,17 @@ def tiled_mask_predict(
 
     from .stft import fetch_real, link_quant_mode, put_real
 
-    # One upload shared by every batch; honours AUDSEP_LINK_QUANT. Same
-    # policy as overlap_add_demix: the upload is the MODEL'S INPUT, so int8
-    # mode still ships it at int16 (only the mask fetch drops to int8) —
-    # magnitudes are bounded after the caller's /max normalisation.
-    lq = link_quant_mode()
+    # One upload shared by every batch. The mode is resolved ONCE for both
+    # directions (the fetch loop must not re-read a mid-run env change).
+    # Same policy as overlap_add_demix: the upload is the MODEL'S INPUT, so
+    # int8 mode still ships it at int16 (only the mask fetch drops to int8)
+    # — magnitudes are bounded after the caller's /max normalisation.
+    if quantized_transfer is None:
+        lq = link_quant_mode()
+    elif quantized_transfer is True:
+        lq = "int16"
+    else:
+        lq = quantized_transfer or ""
     spec_dev = put_real(spec_buf, quant="int16" if lq == "int8" else lq)
     tile_idx = np.arange(n_pad, dtype=np.int32)
     handles = [
@@ -460,9 +498,97 @@ def tiled_mask_predict(
         for i in range(0, n_pad, batch_size) if i < n
     ]  # async: all batches in flight before the first fetch blocks
     mask = np.concatenate(
-        [fetch_real(h).transpose(1, 2, 0, 3).reshape(out_c, out_f, -1)
+        [fetch_real(h, quant=lq).transpose(1, 2, 0, 3).reshape(out_c, out_f, -1)
          for h in handles], axis=-1)
     return mask[:, :, : n * roi]
+
+
+def _auto_segments(n: int, batch_size: int, cap: int, bucket: bool) -> int:
+    """Pick the pipeline depth that minimises padded window slots.
+
+    Every dummy slot is a full wasted model forward (the dominant cost), so
+    the search scores each candidate segment count by the total padded slots
+    its batch-aligned grouping produces, tie-breaking toward ~2 batches per
+    segment (enough segments to overlap transfers, few enough to bound
+    boundary duplication when windows overlap). Example: 30 windows at batch
+    4 → 4 segments of [8,8,8,6] (32 slots); at batch 6 → 5 segments of 6
+    (30 slots, zero waste) where a fixed "2 batches per segment" rule would
+    have padded 30→36.
+    """
+    pad_n = bucket_up if bucket else (lambda v, q: -(-v // q) * q)
+    target = max(1, -(-n // (2 * batch_size)))
+    best_k, best_cost = 1, None
+    for k in range(1, max(1, min(cap, -(-n // batch_size))) + 1):
+        per_seg = batch_size * (-(-n // (batch_size * k)))
+        slots = -(-n // per_seg) * pad_n(per_seg, batch_size)
+        cost = (slots, abs(k - target))
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def _segment_groups(n: int, batch_size: int, n_segments: int) -> list:
+    """Contiguous index groups whose sizes are multiples of ``batch_size``
+    (except possibly the last): bucket padding then adds dummy window slots
+    only to the final ragged group instead of to every segment. Dummy slots
+    are wasted model forwards — with ``array_split`` a 30-window track at
+    batch 4 split 3 ways padded 10→12 rows per segment (6 dead forwards);
+    aligned groups [8,8,8,6] pad only the tail (2 dead forwards). The ragged
+    group lands LAST, which also makes the non-overlapped final D2H fetch the
+    smallest one."""
+    n_segments = max(1, min(n_segments, -(-n // batch_size)))
+    per_seg = batch_size * (-(-n // (batch_size * n_segments)))
+    return [np.arange(i, min(i + per_seg, n)) for i in range(0, n, per_seg)]
+
+
+# Geometry-static host artifacts (overlap divider, per-segment window sums)
+# are deterministic in (positions, window, chunk, segmentation) and cost a
+# full pass over track-length buffers to rebuild — cache across calls so
+# repeated separations (bench passes, batch folders, serving) skip the host
+# work. Keyed on content hashes; tiny LRU.
+_GEOM_MAX_ENTRIES = 8
+_geom_cache: dict = {}
+
+
+def _geom_key(positions: np.ndarray, window: np.ndarray, chunk: int,
+              extra: tuple) -> tuple:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(positions.tobytes())
+    h.update(window.tobytes())
+    return (h.hexdigest(), chunk, window.shape) + extra
+
+
+def _geom_memo(key, builder):
+    hit = _geom_cache.get(key)
+    if hit is None:
+        hit = _geom_cache[key] = builder()
+        while len(_geom_cache) > _GEOM_MAX_ENTRIES:
+            _geom_cache.pop(next(iter(_geom_cache)))
+    return hit
+
+
+# Device-resident mix cache: a separation that runs the SAME mix through the
+# engine more than once (MDX match-mix/denoise second pass, VR TTA, ensemble
+# members sharing one file) re-uploaded the full track each time — on a
+# tethered link that is seconds per pass. Callers opt in by passing an
+# opaque ``mix_token`` (e.g. the audio path + pitch); entries are the
+# quantised device segments keyed by (token, lo, len, mode). Two tracks of
+# int8/int16 segments bound the HBM held.
+_MIX_MAX_TOKENS = 2
+_mix_cache: "dict[tuple, dict]" = {}
+
+
+def _mix_segments_for_token(mix_token):
+    if mix_token is None:
+        return None
+    seg = _mix_cache.get(mix_token)
+    if seg is None:
+        while len(_mix_cache) >= _MIX_MAX_TOKENS:
+            _mix_cache.pop(next(iter(_mix_cache)))
+        seg = _mix_cache[mix_token] = {}
+    return seg
 
 
 def _pipelined_demix(
@@ -483,6 +609,7 @@ def _pipelined_demix(
     mesh=None,
     data_axis: str = "data",
     fetch_stems: tuple | None = None,
+    mix_token=None,
 ) -> np.ndarray:
     """Segment-pipelined demix: K contiguous window groups, each run as an
     *unnormalised* device scan over its own mix slice, dispatched back to back
@@ -491,26 +618,36 @@ def _pipelined_demix(
     bucketed buffer length), so XLA compiles exactly once. The overlap-add
     across segment boundaries and the window-weight normalisation happen on
     host, where the divider is a cheap numpy overlap-add of the window rows.
+
+    Pipeline-end engineering (the measured gap between the ~71x model-only
+    RTF and the e2e number is almost entirely the non-overlapped ends):
+      * each segment's mix slice is quantised on host *inside* the dispatch
+        loop, so segment k+1's host prep runs while segment k computes;
+      * geometry-static host buffers (divider, per-segment window sums) come
+        from a content-keyed cache — repeat separations skip the host pass;
+      * when segment spans are disjoint (step >= chunk, the flagship MDXC
+        default) and fetches are device-normalised, the host drain is ONE
+        fused multiply per segment straight into the output buffer — the
+        per-element window re-scale and global divide cancel exactly;
+      * every segment's D2H copy is started asynchronously at dispatch time
+        and (payload, scale) cross in one device_get, so the drain loop only
+        ever blocks on bytes still in flight.
     """
     c, total = mix.shape
     n = len(positions)
     order = np.argsort(positions, kind="stable")
     pos_sorted = positions[order]
 
-    n_segments = max(1, min(n_segments, n // batch_size))
-    groups = np.array_split(np.arange(n), n_segments)
+    groups = _segment_groups(n, batch_size, n_segments)
 
     pad_n = bucket_up if bucket else (lambda v, q: -(-v // q) * q)
     seg_n = pad_n(max(len(g) for g in groups), batch_size)
-    spans = [int(pos_sorted[g[-1]]) + chunk - int(pos_sorted[g[0]]) for g in groups]
+    seg_lo = [int(pos_sorted[g[0]]) for g in groups]
+    spans = [int(pos_sorted[g[-1]]) + chunk - lo for g, lo in zip(groups, seg_lo)]
     seg_buf = bucket_up(max(spans), chunk) if bucket else max(spans)
 
     t_full = max(total, int(pos_sorted[-1]) + chunk)
-    pad_to = max(t_full, max(int(pos_sorted[g[0]]) for g in groups) + seg_buf)
-    mix_buf = np.zeros((c, pad_to), dtype=np.float32)
-    mix_buf[:, :total] = mix
-    mix_host, inv_scale_np = _quantize_upload(mix_buf, quantized_upload)
-    inv_scale = jnp.asarray(inv_scale_np)
+    pad_to = max(t_full, max(seg_lo) + seg_buf)
 
     # Quantized fetches are normalised ON DEVICE by the segment's own window
     # sum before quantisation, then re-scaled on host by that (statically
@@ -520,11 +657,98 @@ def _pipelined_demix(
     # the error uniformly at the quantiser's SNR because the host re-scale
     # weight w_seg never exceeds the global divider it is later divided by.
     device_norm = bool(quantized_transfer)
+    # Disjoint fast path: segments that don't overlap (step >= chunk) make
+    # wseg identical to the global divider on the segment's span, so the
+    # host-side "* wseg / div" is the identity — the drain writes each
+    # segment's dequantised bytes straight into the output.
+    disjoint = (divider is None and device_norm
+                and all(seg_lo[k + 1] >= seg_lo[k] + spans[k]
+                        for k in range(len(groups) - 1)))
+
+    def _build_geom():
+        if divider is not None:
+            div = np.asarray(divider, dtype=np.float32)
+            if len(div) < pad_to:
+                div = np.concatenate(
+                    [div, np.ones(pad_to - len(div), np.float32)])
+            div = div[:pad_to]
+        else:
+            div = np.zeros(pad_to, dtype=np.float32)
+            for r, p in enumerate(positions):
+                div[p : p + chunk] += window if shared_window else window[r]
+        inv_div = 1.0 / np.maximum(div, 1e-10)
+        wsegs = []
+        if device_norm and not disjoint:
+            for g, lo, span in zip(groups, seg_lo, spans):
+                w = np.zeros(span, dtype=np.float32)
+                for r in g:
+                    p = int(pos_sorted[r]) - lo
+                    w[p : p + chunk] += (window if shared_window
+                                         else window[order[r]])
+                wsegs.append(w)
+        return inv_div, wsegs
+
+    div_key = (None if divider is None
+               else hash(np.asarray(divider, np.float32).tobytes()))
+    inv_div, wsegs = _geom_memo(
+        _geom_key(pos_sorted, window, chunk,
+                  (len(groups), seg_n, pad_to, device_norm, disjoint, div_key)),
+        _build_geom)
+
+    mix_seg_cache = _mix_segments_for_token(mix_token)
+    up_mode = ("int8" if quantized_upload == "int8"
+               else "int16" if quantized_upload else "f32")
+    # Token cache, two regimes: same-geometry repeats hit the per-segment
+    # entries below; a second pass with DIFFERENT window geometry over the
+    # same mix (MDX match-mix changes step but not the mixture) would miss
+    # every per-segment key — detect that and switch the token to ONE
+    # device-resident full-mix buffer that segments slice on device, so the
+    # mix crosses the link at most twice per track ever, then never again.
+    full_entry = None
+    if mix_seg_cache is not None:
+        fk = ("full", up_mode)
+        full_entry = mix_seg_cache.get(fk)
+        if full_entry is not None and full_entry[2] < max(seg_lo) + seg_buf:
+            full_entry = None  # too short for this geometry: rebuild below
+        if full_entry is None:
+            seg_keys = [(lo, seg_buf, up_mode) for lo in seg_lo]
+            prior_pass = any(isinstance(k, tuple) and len(k) == 3
+                             and k[2] == up_mode for k in mix_seg_cache)
+            if prior_pass and any(k not in mix_seg_cache for k in seg_keys):
+                mix_full = np.zeros((c, pad_to), dtype=np.float32)
+                mix_full[:, :total] = mix
+                q, inv = _quantize_upload(mix_full, quantized_upload)
+                full_entry = (jnp.asarray(q), jnp.asarray(inv), pad_to)
+                mix_seg_cache[fk] = full_entry
     dummy_div = jnp.ones((1,), jnp.float32)
     handles = []
-    for g in groups:
-        lo = int(pos_sorted[g[0]])
-        span = int(pos_sorted[g[-1]]) + chunk - lo  # true extent (<= seg_buf)
+    for g, lo, span in zip(groups, seg_lo, spans):
+        # Host-side segment prep (slice/pad/quantise/upload) sits INSIDE the
+        # dispatch loop: segment k's device program is already running while
+        # this prepares k+1 — the host work and H2D bytes hide behind compute
+        # for every segment but the first.
+        ck = (lo, seg_buf, up_mode)
+        cached = mix_seg_cache.get(ck) if mix_seg_cache is not None else None
+        if full_entry is not None:
+            # On-device slice of the resident full mix: no link bytes at all.
+            mix_dev = jax.lax.dynamic_slice_in_dim(full_entry[0], lo, seg_buf,
+                                                   axis=1)
+            inv_scale = full_entry[1]
+        elif cached is not None:
+            mix_dev, inv_scale = cached
+        else:
+            hi = min(lo + seg_buf, total)
+            seg_host = mix[:, lo:hi]
+            if hi - lo < seg_buf:
+                pad = np.zeros((c, seg_buf), dtype=np.float32)
+                pad[:, : hi - lo] = seg_host
+                seg_host = pad
+            seg_q, inv_scale_np = _quantize_upload(
+                np.ascontiguousarray(seg_host), quantized_upload)
+            mix_dev = jnp.asarray(seg_q)
+            inv_scale = jnp.asarray(inv_scale_np)
+            if mix_seg_cache is not None:
+                mix_seg_cache[ck] = (mix_dev, inv_scale)
         seg_pos = np.zeros(seg_n, dtype=np.int32)
         seg_pos[: len(g)] = pos_sorted[g] - lo
         row_scale = np.zeros(seg_n, dtype=np.float32)
@@ -537,7 +761,7 @@ def _pipelined_demix(
         acc, scale = _demix_scan(
             model_fn,
             model_params,
-            jnp.asarray(mix_host[:, lo : lo + seg_buf]),
+            mix_dev,
             inv_scale,
             jnp.asarray(seg_pos),
             jnp.asarray(win_dev),
@@ -554,45 +778,38 @@ def _pipelined_demix(
             data_axis=data_axis,
             fetch_stems=fetch_stems,
         )
-        wseg = None
-        if device_norm:  # host-side re-scale weight (same math as `div` below)
-            wseg = np.zeros(span, dtype=np.float32)
-            for r in g:
-                p = int(pos_sorted[r]) - lo
-                wseg[p : p + chunk] += (window if shared_window
-                                        else window[order[r]])
         # Crop the bucket padding on device (one cheap async op) so only the
-        # segment's true span crosses D2H — the padded tail is zeros.
-        handles.append((lo, span, acc[..., :span], scale, wseg))
-
-    # Kick off every segment's D2H copy before the first blocking read:
-    # np.asarray() below is a *synchronous* fetch, so without the explicit
-    # async copy segment k+1's transfer would only start after segment k's
-    # host accumulation — serialising link and host work at the drain end.
-    for _, _, acc, _, _ in handles:
-        try:
-            acc.copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            break  # backend without async host copies: fetches stay lazy
+        # segment's true span crosses D2H — the padded tail is zeros. Start
+        # the host copy NOW: the drain loop then only blocks on in-flight
+        # bytes, never on un-started transfers.
+        acc = acc[..., :span]
+        for h in (acc, scale):
+            try:
+                h.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass  # backend without async host copies: fetches stay lazy
+        handles.append((lo, span, acc, scale))
 
     n_out = len(fetch_stems) if fetch_stems is not None else num_stems
-    full = np.zeros((n_out, c, pad_to), dtype=np.float32)
-    for lo, span, acc, scale, wseg in handles:
-        a = np.asarray(acc).astype(np.float32)
-        if quantized_transfer:
-            a /= float(scale)
-        if wseg is not None:
-            a *= wseg
-        full[:, :, lo : lo + span] += a
+    if disjoint:
+        # Spans may leave gaps only where no window lands (impossible for
+        # reference position lists, which tile from 0) — zero-fill is still
+        # the correct value there and calloc pages are cheap.
+        full = np.zeros((n_out, c, pad_to), dtype=np.float32)
+        for lo, span, acc, scale in handles:
+            a, s = jax.device_get((acc, scale))
+            np.multiply(a, np.float32(1.0 / float(s)),
+                        out=full[:, :, lo : lo + span], casting="unsafe")
+        return full[..., :total]
 
-    if divider is not None:
-        div = np.asarray(divider, dtype=np.float32)
-        if len(div) < pad_to:
-            div = np.concatenate([div, np.ones(pad_to - len(div), np.float32)])
-        div = div[:pad_to]
-    else:
-        div = np.zeros(pad_to, dtype=np.float32)
-        for r, p in enumerate(positions):
-            div[p : p + chunk] += window if shared_window else window[r]
-    full /= np.maximum(div, 1e-10)
+    full = np.zeros((n_out, c, pad_to), dtype=np.float32)
+    for k, (lo, span, acc, scale) in enumerate(handles):
+        if quantized_transfer:
+            a, s = jax.device_get((acc, scale))
+            # Fold dequant + window re-scale into one broadcast multiply.
+            a = a * (wsegs[k] * np.float32(1.0 / float(s)))
+        else:
+            a = np.asarray(acc).astype(np.float32)
+        full[:, :, lo : lo + span] += a
+    full *= inv_div
     return full[..., :total]

@@ -269,8 +269,12 @@ def main():
     elif env_d2h:
         d2h_modes = [("int16", True, True)]
     else:
-        d2h_modes = [("int8x2", "int8", "int8"), ("int8", "int8", True),
-                     ("int16", True, True)]
+        # Two modes, not three (round-4 trim): each warmup costs ~7 s healthy
+        # and minutes in a degraded link regime — the middle combo (int8
+        # fetch, int16 upload) never won a round and its warmup ate a
+        # measured pass. int8x2 is the headline candidate, int16 the
+        # lossless-equivalent number emitted alongside.
+        d2h_modes = [("int8x2", "int8", "int8"), ("int16", True, True)]
 
     # The mix is generated ONCE, outside the measured passes: host RNG on the
     # single shared vCPU costs seconds per 240 s track and is file-decode

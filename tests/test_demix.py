@@ -326,3 +326,81 @@ def test_link_quant_env_policy(monkeypatch):
     assert 0 < err16 < 5e-4
     monkeypatch.setenv("AUDSEP_LINK_QUANT", "nonsense")
     np.testing.assert_array_equal(run(), base)  # unknown value = off
+
+
+def test_auto_segments_minimises_padding():
+    from audio_separator_tpu.ops.demix import _auto_segments, _segment_groups
+
+    # 30 windows, batch 4: 4 segments of [8,8,8,6] -> 32 padded slots.
+    k = _auto_segments(30, 4, cap=8, bucket=True)
+    groups = _segment_groups(30, 4, k)
+    assert [len(g) for g in groups] == [8, 8, 8, 6]
+    # 30 windows, batch 6: 5 segments of 6 -> zero waste (a fixed
+    # 2-batches-per-segment rule would pad 30 -> 36).
+    k = _auto_segments(30, 6, cap=8, bucket=True)
+    groups = _segment_groups(30, 6, k)
+    assert [len(g) for g in groups] == [6] * 5
+    # exact-divisor preference at larger n
+    k = _auto_segments(100, 4, cap=8, bucket=True)
+    groups = _segment_groups(100, 4, k)
+    assert sum(len(g) for g in groups) == 100
+    assert all(len(g) % 4 == 0 for g in groups)
+
+
+def test_demix_disjoint_fast_drain_matches_general():
+    """step == chunk (the flagship bench geometry): segments are disjoint and
+    the quantized drain takes the direct-write fast path — results must match
+    the unpipelined scan within quantisation noise."""
+    rng = np.random.default_rng(29)
+    chunk = 2048
+    mix = rng.standard_normal((2, chunk * 10 + 123)).astype(np.float32)
+    window = np.asarray(hamming_window(chunk))
+    base = overlap_add_demix(_model, mix, chunk, chunk, window,
+                             num_stems=2, batch_size=2, pipeline_segments=1)
+    piped = overlap_add_demix(_model, mix, chunk, chunk, window,
+                              num_stems=2, batch_size=2, pipeline_segments=3,
+                              quantized_transfer=True, quantized_upload=True)
+    assert np.abs(piped - base).max() < 5e-4
+    # exact-cover case (total a multiple of chunk)
+    mix2 = rng.standard_normal((2, chunk * 8)).astype(np.float32)
+    base2 = overlap_add_demix(_model, mix2, chunk, chunk, window,
+                              num_stems=2, batch_size=2, pipeline_segments=1)
+    piped2 = overlap_add_demix(_model, mix2, chunk, chunk, window,
+                               num_stems=2, batch_size=2, pipeline_segments=4,
+                               quantized_transfer="int8",
+                               quantized_upload="int8")
+    assert np.abs(piped2 - base2).max() < np.abs(base2).max() / 40
+
+
+def test_demix_mix_token_reuses_uploaded_segments():
+    """Passing the same mix_token reuses device-resident mix segments (no
+    re-quantise/re-upload) and yields identical results; a different token
+    re-uploads. Guards the MDX match-mix / ensemble shared-file win."""
+    from audio_separator_tpu.ops import demix as demix_mod
+
+    rng = np.random.default_rng(31)
+    mix = rng.standard_normal((2, 40000)).astype(np.float32)
+    chunk, step = 4096, 2500
+    window = np.asarray(hamming_window(chunk))
+    demix_mod._mix_cache.clear()
+    kw = dict(num_stems=2, batch_size=2, pipeline_segments=3,
+              quantized_upload=True, quantized_transfer=True)
+    first = overlap_add_demix(_model, mix, chunk, step, window,
+                              mix_token=("t", 1), **kw)
+    cache = demix_mod._mix_cache[("t", 1)]
+    n_entries = len(cache)
+    assert n_entries > 0
+    cached_ids = {id(v[0]) for v in cache.values()}
+    second = overlap_add_demix(_model, mix, chunk, step, window,
+                               mix_token=("t", 1), **kw)
+    assert {id(v[0]) for v in demix_mod._mix_cache[("t", 1)].values()} == cached_ids
+    np.testing.assert_array_equal(first, second)
+    # no token: nothing cached beyond the existing entry
+    overlap_add_demix(_model, mix, chunk, step, window, **kw)
+    assert list(demix_mod._mix_cache) == [("t", 1)]
+    # LRU bound: a flood of tokens keeps at most _MIX_MAX_TOKENS entries
+    for i in range(4):
+        overlap_add_demix(_model, mix, chunk, step, window,
+                          mix_token=("flood", i), **kw)
+    assert len(demix_mod._mix_cache) <= demix_mod._MIX_MAX_TOKENS
+    demix_mod._mix_cache.clear()
