@@ -22,9 +22,10 @@ import numpy as np
 
 from ..models.convert import load_torch_state_dict
 from ..models.vr_nets import predict_mask_v5, predict_mask_v51, state_dict_to_tree
-from ..ops.demix import tiled_mask_predict
+from ..ops.demix import bucket_up, tiled_mask_predict, tiled_mask_predict_dev
 from ..ops import spec as spec_ops
 from ..ops import vr_bands
+from ..ops import vr_chain
 from ..ops.resample import resample_poly_np
 from ..separator.common import BaseSeparator
 
@@ -151,10 +152,19 @@ class VRSeparator(BaseSeparator):
         self.audio_file_base = os.path.splitext(os.path.basename(audio_file_path))[0]
 
         self._load_network()
-        x_spec = self.loading_mix()
-        y_spec, v_spec = self.inference_vr(x_spec, self.aggressiveness)
-        y_spec = np.nan_to_num(y_spec, nan=0.0, posinf=0.0, neginf=0.0)
-        v_spec = np.nan_to_num(v_spec, nan=0.0, posinf=0.0, neginf=0.0)
+        if self._use_device_chain():
+            # TPU-first path: wave up once, stems down once, everything
+            # between jitted on device (ops/vr_chain.py). Both stems come
+            # out of one fused synthesis program.
+            y_wave, v_wave = self._inference_device()
+            self.primary_source = self._to_output_rate(y_wave).T
+            self.secondary_source = self._to_output_rate(v_wave).T
+            y_spec = v_spec = None
+        else:
+            x_spec = self.loading_mix()
+            y_spec, v_spec = self.inference_vr(x_spec, self.aggressiveness)
+            y_spec = np.nan_to_num(y_spec, nan=0.0, posinf=0.0, neginf=0.0)
+            v_spec = np.nan_to_num(v_spec, nan=0.0, posinf=0.0, neginf=0.0)
 
         output_files = []
         if self.output_single_stem and self.output_single_stem.lower() not in (
@@ -167,14 +177,8 @@ class VRSeparator(BaseSeparator):
         if (not self.output_single_stem
                 or self.output_single_stem.lower() == self.primary_stem_name.lower()):
             if not isinstance(self.primary_source, np.ndarray):
-                self.primary_source = self.spec_to_wav(y_spec).T
-                if self.model_samplerate != self.sample_rate:
-                    # Resample to the *configured* output rate — write_audio
-                    # stamps self.sample_rate in the header, so a fixed 44100
-                    # here would silently pitch-shift non-default configs.
-                    self.primary_source = resample_poly_np(
-                        self.primary_source.T, self.model_samplerate,
-                        self.sample_rate).T
+                self.primary_source = self._to_output_rate(
+                    self.spec_to_wav(y_spec)).T
             path = self.get_stem_output_path(self.primary_stem_name, custom_output_names)
             self.final_process(path, self.primary_source, self.primary_stem_name)
             output_files.append(path)
@@ -182,15 +186,142 @@ class VRSeparator(BaseSeparator):
         if (not self.output_single_stem
                 or self.output_single_stem.lower() == self.secondary_stem_name.lower()):
             if not isinstance(self.secondary_source, np.ndarray):
-                self.secondary_source = self.spec_to_wav(v_spec).T
-                if self.model_samplerate != self.sample_rate:
-                    self.secondary_source = resample_poly_np(
-                        self.secondary_source.T, self.model_samplerate,
-                        self.sample_rate).T
+                self.secondary_source = self._to_output_rate(
+                    self.spec_to_wav(v_spec)).T
             path = self.get_stem_output_path(self.secondary_stem_name, custom_output_names)
             self.final_process(path, self.secondary_source, self.secondary_stem_name)
             output_files.append(path)
         return output_files
+
+    def _to_output_rate(self, wave: np.ndarray) -> np.ndarray:
+        """Resample ``(2, T)`` from the model rate to the *configured* output
+        rate — write_audio stamps self.sample_rate in the header, so skipping
+        this for non-default configs would silently pitch-shift."""
+        if self.model_samplerate != self.sample_rate:
+            return resample_poly_np(wave, self.model_samplerate, self.sample_rate)
+        return wave
+
+    # ------------------------------------------------- device-resident chain
+
+    def _use_device_chain(self) -> bool:
+        """The on-device multiband chain is the default; ``AUDSEP_VR_CHAIN=
+        host`` opts back to the numpy chain (kept for parity tests and the
+        one packaged ``reverse`` geometry the device chain cannot bucket)."""
+        mode = os.environ.get("AUDSEP_VR_CHAIN", "device").strip().lower()
+        return mode != "host" and vr_chain.supports_device_chain(self.mp)
+
+    def _inference_device(self):
+        """Full VR separation with ONE H2D (the wave) and ONE D2H (both
+        stems): per-band resample/STFT/combine, tiled mask inference, TTA,
+        aggression, optional post-process/high-end, and the istft/resample
+        synthesis cascade all run as jitted device programs at bucketed
+        static shapes (ops/vr_chain.py). Replaces the reference's host loop
+        (ref: vr_separator.py:255-375) rather than translating it."""
+        from ..io import audio as audio_io
+        from ..ops.fn_cache import memoized_model_fn
+        from ..ops.stft import fetch_real, link_quant_mode, put_real
+
+        geom = vr_chain.band_geometry(self.mp, self.is_vr_51_model)
+        bands_n = len(self.mp["band"])
+        sr_top = self.mp["band"][bands_n]["sr"]
+
+        pcm, _ = audio_io.load_audio(self.audio_file_path, sample_rate=sr_top)
+        self.capture_input_bit_depth(self.audio_file_path)
+        if pcm.ndim == 2 and pcm.shape[0] == 1:
+            pcm = pcm[0]
+        if pcm.ndim == 1:
+            pcm = np.stack([pcm, pcm])
+        pcm = pcm.astype(np.float32)
+
+        t_true = pcm.shape[-1]
+        # 1 s bucket quantum: log-many compiled shapes across track lengths,
+        # ≤ ~1/3 padding — and NO padded mask-net forwards (the tile count
+        # below is the true one; dummy batches are never dispatched).
+        t_bucket = bucket_up(t_true, sr_top)
+        n_frame = vr_chain.chain_frames(geom, t_true)
+        lb = vr_chain.chain_frames(geom, t_bucket)
+        wave = np.zeros((2, t_bucket), dtype=np.float32)
+        wave[:, :t_true] = pcm
+
+        # The wave is the mask net's input: under int8 link policy it still
+        # ships at int16 (same rule as the demix engine's uploads).
+        lq = link_quant_mode()
+        wave_dev = put_real(wave, quant="int16" if lq == "int8" else lq)
+        t_dev = jnp.int32(t_true)
+        nf_dev = jnp.int32(n_frame)
+
+        analyze = memoized_model_fn(
+            ("vr-chain-analyze", geom, t_bucket),
+            lambda: vr_chain.build_analyze(geom, t_bucket))
+        spec_c, high_end = analyze(wave_dev, t_dev)
+
+        window, offset = self.window_size, self._offset
+        if window - 2 * offset <= 0:
+            raise ValueError(
+                "Window size error: h1_shape[3] must be greater than h2_shape[3]")
+        roi = window - 2 * offset
+        n_tiles = n_frame // roi + 1  # == make_padding tiling of n_frame
+        want_tta = bool(self.enable_tta)
+        pad_key = ("vr-chain-pad", geom, t_bucket, window, offset, want_tta)
+
+        def _build_pad():
+            def pad_norm(spec):
+                mag = jnp.abs(spec)
+                mx = jnp.max(mag)  # reference normalises by the raw max
+                base = jnp.pad(mag, ((0, 0), (0, 0), (offset, 0))) / mx
+                if not want_tta:
+                    return base, base
+                tta = jnp.pad(mag, ((0, 0), (0, 0), (offset + roi // 2, 0))) / mx
+                return base, tta
+
+            return jax.jit(pad_norm)
+
+        mag_pad, mag_pad_tta = memoized_model_fn(pad_key, _build_pad)(spec_c)
+
+        predict = self._predict_fn()
+        batch = max(1, int(self.batch_size))
+        mask = tiled_mask_predict_dev(
+            predict, mag_pad, window=window, offset=offset, batch_size=batch,
+            n_tiles=n_tiles, model_params=self._params, mesh=self.mesh)
+        mask_tta = None
+        if self.enable_tta:
+            mask_tta = tiled_mask_predict_dev(
+                predict, mag_pad_tta, window=window, offset=offset,
+                batch_size=batch, n_tiles=n_tiles + 1,
+                model_params=self._params, mesh=self.mesh)
+
+        is_non_accom = self.primary_stem_name in self.NON_ACCOM_STEMS
+        aggr_key = (self.aggressiveness["value"],
+                    self.aggressiveness["split_bin"],
+                    json.dumps(self.aggressiveness.get("aggr_correction"),
+                               sort_keys=True))
+        finalize = memoized_model_fn(
+            ("vr-chain-finalize", lb, roi, self.enable_tta, aggr_key,
+             is_non_accom, mask.shape, None if mask_tta is None else mask_tta.shape),
+            lambda: vr_chain.build_finalize(lb, roi, self.enable_tta,
+                                            self.aggressiveness, is_non_accom))
+        mask = finalize(mask, mask_tta) if self.enable_tta else finalize(mask)
+
+        if self.enable_post_process:
+            # merge_artifacts is data-dependent (region discovery) — the one
+            # host round trip in this path, only when explicitly enabled.
+            m = fetch_real(mask, quant=lq)
+            m = vr_bands.merge_artifacts(m, thres=self.post_process_threshold)
+            mask = put_real(m, quant="int16" if lq == "int8" else lq)
+
+        use_high_end = bool(self.high_end_process and high_end is not None)
+        synthesize = memoized_model_fn(
+            ("vr-chain-synth", geom, lb, use_high_end),
+            lambda: vr_chain.build_synthesize(geom, lb, use_high_end))
+        if use_high_end:
+            waves = synthesize(mask, spec_c, nf_dev, high_end)
+        else:
+            waves = synthesize(mask, spec_c, nf_dev)
+
+        out_len = vr_chain.synth_out_len(geom, n_frame)
+        host = fetch_real(waves, quant=lq)
+        host = np.nan_to_num(host, nan=0.0, posinf=0.0, neginf=0.0)
+        return host[0][..., :out_len], host[1][..., :out_len]
 
     # ------------------------------------------------------------ data prep
 

@@ -503,6 +503,50 @@ def tiled_mask_predict(
     return mask[:, :, : n * roi]
 
 
+@functools.partial(jax.jit, static_argnames=("t_need",))
+def _pad_time_to(spec: jnp.ndarray, t_need: int) -> jnp.ndarray:
+    t = spec.shape[-1]
+    if t >= t_need:
+        return spec[..., :t_need]
+    return jnp.pad(spec, [(0, 0)] * (spec.ndim - 1) + [(0, t_need - t)])
+
+
+def tiled_mask_predict_dev(
+    model_fn: Callable,
+    spec_dev,  # (C, F, T) f32 DEVICE-RESIDENT padded magnitudes
+    window: int,
+    offset: int,
+    batch_size: int,
+    n_tiles: int,
+    model_params=None,
+    mesh=None,
+    data_axis: str = "data",
+    bucket: bool = True,
+):
+    """Device-in/device-out variant of :func:`tiled_mask_predict` for the
+    VR on-device chain (ops/vr_chain.py): the spec never leaves HBM and the
+    mask ``(out_c, out_f, >= n_tiles*roi)`` is returned as a device array
+    for the jitted synthesis stage to consume — zero link bytes.
+
+    ``n_tiles`` is the TRUE tile count for the track (host arithmetic over
+    the unpadded frame count): tiles beyond it cover bucket padding only and
+    their batches are never dispatched — bucketing must not buy its compile
+    reuse with dead mask-net forwards."""
+    roi = window - 2 * offset
+    n_pad = (bucket_up(n_tiles, batch_size) if bucket
+             else -(-n_tiles // batch_size) * batch_size)
+    spec_dev = _pad_time_to(spec_dev, (n_pad - 1) * roi + window)
+    outs = [
+        _tile_batch(model_fn, model_params, spec_dev,
+                    jnp.arange(i, i + batch_size, dtype=jnp.int32),
+                    window, roi, mesh=mesh, data_axis=data_axis)
+        for i in range(0, n_pad, batch_size) if i < n_tiles
+    ]
+    mask = jnp.concatenate(outs, axis=0)  # (B_total, out_c, out_f, roi)
+    b, oc, of, _ = mask.shape
+    return mask.transpose(1, 2, 0, 3).reshape(oc, of, b * roi)
+
+
 def _auto_segments(n: int, batch_size: int, cap: int, bucket: bool) -> int:
     """Pick the pipeline depth that minimises padded window slots.
 

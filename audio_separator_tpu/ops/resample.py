@@ -77,6 +77,11 @@ def _resample_conv(x: jnp.ndarray, h: jnp.ndarray, up: int, down: int) -> jnp.nd
         padding=[(half, pad_hi)],
         lhs_dilation=(up,),
         dimension_numbers=("NCW", "OIW", "NCW"),
+        # DSP filter: the backend's DEFAULT conv precision is bf16-class
+        # (measured: the filter's 0.50025874 centre tap rounds to exactly
+        # 0.5 → ~54 dB resample SNR); force full f32 accumulation. The
+        # resampler is a sliver of the FLOPs next to the model forward.
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[:, 0, :n_out]
 

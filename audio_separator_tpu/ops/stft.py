@@ -312,11 +312,18 @@ def istft(
     center: bool = True,
     length: Optional[int] = None,
     impl: str | None = None,
+    frame_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """torch.istft-compatible least-squares inverse STFT.
 
     Args:
       spec: ``(..., F, T)`` complex spectrogram with ``F = n_fft//2 + 1``.
+      frame_valid: optional ``(T,)`` 0/1 vector. When given, the
+        least-squares window-power envelope sums ONLY the valid frames —
+        inverting the first ``k`` frames of a longer static buffer then
+        reproduces the exact-shape inverse's boundary behaviour, provided
+        the invalid frames of ``spec`` are zero (the device-resident VR
+        chain pads tracks into shape buckets this way, ops/vr_chain.py).
     Returns:
       ``(..., L)`` real signal with ``L = hop * (T - 1)`` for ``center=True``
       (or ``length`` if given).
@@ -326,6 +333,8 @@ def istft(
     y = overlap_add(frames * window, hop)
     # Least-squares normalisation by the summed squared-window envelope.
     wsq = jnp.broadcast_to(window * window, (num_frames, n_fft))
+    if frame_valid is not None:
+        wsq = wsq * frame_valid[:, None]
     envelope = overlap_add(wsq, hop)
     y = y / jnp.maximum(envelope, 1e-11)
     if center:
