@@ -19,11 +19,56 @@ no host-side communication code exists (XLA emits the collectives).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_distributed_initialized = False
+
+
+def init_distributed_from_env(timeout_s: int = 120) -> bool:
+    """Multi-host (DCN) wiring: join a ``jax.distributed`` cluster when the
+    environment says so, making :func:`make_mesh` span PROCESSES — each host
+    contributes its local chips and ``jax.devices()`` becomes the global
+    device list, so the same NamedSharding/pjit programs scale from one host
+    to a pod slice with zero code change (collectives ride ICI within a
+    host, DCN across — XLA picks, we only lay out the mesh).
+
+    Env contract (all three required to activate; a bare single process is
+    the default and costs nothing):
+
+    * ``AUDSEP_COORDINATOR``   — ``host:port`` of process 0
+    * ``AUDSEP_NUM_PROCESSES`` — total process count
+    * ``AUDSEP_PROCESS_ID``    — this process's rank (0-based)
+
+    The standard JAX variables (``JAX_COORDINATOR_ADDRESS`` etc.) keep
+    working too — ``jax.distributed.initialize`` reads them natively; this
+    wrapper only adds the AUDSEP_* spelling and idempotence. Returns True
+    when a multi-process cluster was joined. Scale-out ABOVE the mesh stays
+    the HTTP job layer (remote/server.py): jobs fan out across serving
+    replicas; one mesh spans the chips a single model instance uses
+    (replaces the reference's per-GPU cloud jobs,
+    ref: audio_separator/remote/deploy_modal.py:152-378).
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    coord = os.environ.get("AUDSEP_COORDINATOR")
+    nproc = os.environ.get("AUDSEP_NUM_PROCESSES")
+    pid = os.environ.get("AUDSEP_PROCESS_ID")
+    if not (coord and nproc and pid):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(nproc),
+        process_id=int(pid),
+        initialization_timeout=timeout_s,
+    )
+    _distributed_initialized = True
+    return True
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
@@ -32,8 +77,12 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
 
     Defaults to pure data parallelism (tp=1); pass ``tp`` to carve a tensor-
     parallel minor axis (minor = contiguous devices → ICI-adjacent on TPU).
+    In a multi-process deployment (see :func:`init_distributed_from_env`,
+    joined here automatically when the env contract is set) the mesh spans
+    every process's devices.
     """
     if devices is None:
+        init_distributed_from_env()
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
