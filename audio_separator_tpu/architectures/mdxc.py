@@ -127,7 +127,49 @@ class MDXCSeparator(BaseSeparator):
 
         mix = spec_ops.normalize(mix, self.normalization_threshold, self.amplification_threshold)
         source = self.demix(mix)
+        return self._finalize_outputs(source, custom_output_names)
 
+    def separate_batch(self, audio_file_paths: list,
+                       custom_output_names_list: Optional[list] = None) -> list:
+        """Separate several files through ONE engine pass (cross-job window
+        batching, ops/demix.demix_jobs): all tracks' windows share the
+        scanned program so pipeline ends, batch padding, and link transfers
+        amortise across jobs. Returns one output-file list per input.
+
+        Falls back to sequential :meth:`separate` when the group cannot
+        share geometry (non-roformer unfold path, pitch shift, any track
+        under the 10 s segment-size override, residual-secondary models —
+        the engine output feeds per-job host math there).
+        """
+        names = custom_output_names_list or [None] * len(audio_file_paths)
+        batchable = (self.is_roformer and self.pitch_shift == 0
+                     and len(audio_file_paths) > 1)
+        prepared = []
+        if batchable:
+            for path in audio_file_paths:
+                self.audio_file_path = path
+                mix = self.prepare_mix(path)
+                if mix.shape[1] / self.sample_rate < 10.0:
+                    batchable = False
+                    break
+                prepared.append(spec_ops.normalize(
+                    mix, self.normalization_threshold,
+                    self.amplification_threshold))
+        if not batchable:
+            return [self.separate(p, n)
+                    for p, n in zip(audio_file_paths, names)]
+
+        sources = self._demix_batch(prepared)
+        outputs = []
+        for path, source, custom in zip(audio_file_paths, sources, names):
+            self.primary_source = None
+            self.secondary_source = None
+            self.audio_file_path = path
+            self.audio_file_base = os.path.splitext(os.path.basename(path))[0]
+            outputs.append(self._finalize_outputs(source, custom))
+        return outputs
+
+    def _finalize_outputs(self, source, custom_output_names: Optional[Dict]):
         output_files = []
         if isinstance(source, dict):
             is_multi_stem_model = len(self.stem_list) > 2
@@ -218,23 +260,9 @@ class MDXCSeparator(BaseSeparator):
         return memoized_model_fn(
             ("mdxc", self.is_roformer, cfg, jnp.dtype(dtype).name), build)
 
-    def demix(self, mix: np.ndarray):
-        """ref: mdxc_separator.py:257-468 semantics."""
-        orig_mix = mix
-        sample_rate = self.sample_rate
-        if self.pitch_shift != 0:
-            mix, sample_rate = change_pitch_semitones_np(
-                mix, self.sample_rate, semitone_shift=-self.pitch_shift)
-
-        seg = self._segment_size()
-        model_section = self.model_data.get("model") or {}
-        audio_section = self.model_data.get("audio") or {}
-        num_stems = len(self.stem_list)
-
-        # output_single_stem on a multi-stem model: compute all stems on
-        # device but fetch only the requested one (D2H bytes are the scarce
-        # resource on tethered links; 1/num_stems the fetch). Only when the
-        # name matches a model stem — otherwise fall back to fetching all.
+    def _fetch_plan(self, num_stems: int):
+        """(fetch_stems, kept_names) for output_single_stem device-side stem
+        selection — shared by the solo and cross-job paths."""
         fetch_stems = None
         kept_names = list(self.stem_list)
         if (self.output_single_stem and num_stems > 1
@@ -245,16 +273,82 @@ class MDXCSeparator(BaseSeparator):
             if idx:
                 fetch_stems = tuple(idx)
                 kept_names = [self.stem_list[i] for i in idx]
+        return fetch_stems, kept_names
+
+    def _roformer_geometry(self):
+        """(chunk, step, window) of the roformer OLA grid
+        (ref: mdxc_separator.py:257-341 chunk/step derivation)."""
+        seg = self._segment_size()
+        model_section = self.model_data.get("model") or {}
+        audio_section = self.model_data.get("audio") or {}
+        stft_hop = int(model_section.get("stft_hop_length",
+                                         audio_section.get("hop_length",
+                                                           self.model_cfg.stft_hop_length)))
+        chunk = stft_hop * (seg - 1)
+        audio_sr = int(audio_section.get("sample_rate", self.sample_rate))
+        desired_step = int(self.overlap * audio_sr)
+        step = chunk if desired_step <= 0 else min(desired_step, chunk)
+        return chunk, step, np.asarray(hamming_window(chunk))
+
+    def _sources_from_out(self, out, kept_names, num_stems, orig_mix):
+        """Engine output → per-job sources dict/array (the tail of demix():
+        stem naming, residual secondary for target-instrument models)."""
+        sources = {}
+        outputs = {name: out[i] for i, name in enumerate(
+            kept_names if num_stems > 1 else [self.stem_list[0]])}
+        for key, value in outputs.items():
+            sources[key] = np.asarray(value, dtype=np.float32)
+        if num_stems > 1:
+            return sources
+        primary = sources[self.stem_list[0]]
+        if self.is_primary_stem_main_target:
+            if primary.shape[1] != orig_mix.shape[1]:
+                primary = spec_ops.match_array_shapes(primary, orig_mix)
+            return {
+                self.primary_stem_name: primary,
+                self.secondary_stem_name: orig_mix - primary,
+            }
+        return primary
+
+    def _demix_batch(self, mixes: list) -> list:
+        """K prepared mixes → K sources via ONE engine pass
+        (ops/demix.demix_jobs). Callers guarantee the roformer path with no
+        pitch shift; every per-job semantic (stem naming, residual
+        secondary) is applied per slice."""
+        num_stems = len(self.stem_list)
+        fetch_stems, kept_names = self._fetch_plan(num_stems)
+        chunk, step, window = self._roformer_geometry()
+        from ..ops.demix import demix_jobs
+
+        outs = demix_jobs(
+            self._model_fn(), mixes, chunk, step, window,
+            num_stems=num_stems, batch_size=max(1, int(self.batch_size)),
+            model_params=self.params, mesh=self.mesh,
+            fetch_stems=fetch_stems,
+        )
+        return [self._sources_from_out(out, kept_names, num_stems, mix)
+                for out, mix in zip(outs, mixes)]
+
+    def demix(self, mix: np.ndarray):
+        """ref: mdxc_separator.py:257-468 semantics."""
+        orig_mix = mix
+        sample_rate = self.sample_rate
+        if self.pitch_shift != 0:
+            mix, sample_rate = change_pitch_semitones_np(
+                mix, self.sample_rate, semitone_shift=-self.pitch_shift)
+
+        seg = self._segment_size()
+        audio_section = self.model_data.get("audio") or {}
+        num_stems = len(self.stem_list)
+
+        # output_single_stem on a multi-stem model: compute all stems on
+        # device but fetch only the requested one (D2H bytes are the scarce
+        # resource on tethered links; 1/num_stems the fetch). Only when the
+        # name matches a model stem — otherwise fall back to fetching all.
+        fetch_stems, kept_names = self._fetch_plan(num_stems)
 
         if self.is_roformer:
-            stft_hop = int(model_section.get("stft_hop_length",
-                                             audio_section.get("hop_length",
-                                                               self.model_cfg.stft_hop_length)))
-            chunk = stft_hop * (seg - 1)
-            audio_sr = int(audio_section.get("sample_rate", self.sample_rate))
-            desired_step = int(self.overlap * audio_sr)
-            step = chunk if desired_step <= 0 else min(desired_step, chunk)
-            window = np.asarray(hamming_window(chunk))
+            chunk, step, window = self._roformer_geometry()
             out = overlap_add_demix(
                 self._model_fn(), mix, chunk, step, window,
                 num_stems=num_stems, batch_size=max(1, int(self.batch_size)),

@@ -503,6 +503,62 @@ def tiled_mask_predict(
     return mask[:, :, : n * roi]
 
 
+def demix_jobs(
+    model_fn: Callable,
+    mixes: list,
+    chunk: int,
+    step: int,
+    window: np.ndarray,
+    num_stems: int,
+    batch_size: int,
+    model_params=None,
+    mesh=None,
+    fetch_stems: tuple | None = None,
+    quantized_transfer: bool | str | None = None,
+    quantized_upload: bool | str | None = None,
+) -> list:
+    """Cross-job window batching: demix K same-geometry mixes in ONE engine
+    pass and return per-job ``(num_stems, C, T_i)`` stems.
+
+    Serving runs concurrent jobs through separate engine calls, leaving the
+    chip idle during each job's host/link phases. Here the jobs' windows
+    share one scanned program: mixes are laid end to end in a single buffer
+    (each spanning ``max(T_i, chunk)`` so a clamped window never reads a
+    neighbour), positions are each job's own reference-compatible window
+    grid offset by its start, and the divider falls out of the shared
+    window-sum — no window or overlap-add crosses a job boundary, so each
+    job's slice is EXACTLY what its solo ``overlap_add_demix`` would return
+    while batch padding, pipeline ends, and link transfers amortise across
+    jobs. (The reference's scale-out answer is one GPU per job,
+    ref: remote/deploy_modal.py:152-378; this fills one chip instead.)
+    """
+    if not mixes:
+        return []
+    c = mixes[0].shape[0]
+    offs, lens, pos_parts = [], [], []
+    cur = 0
+    for m in mixes:
+        if m.shape[0] != c:
+            raise ValueError("demix_jobs: mixes must share channel count")
+        t = int(m.shape[1])
+        offs.append(cur)
+        lens.append(t)
+        pos_parts.append(window_positions(t, chunk, step) + cur)
+        cur += max(t, chunk)
+    mix_cat = np.zeros((c, cur), dtype=np.float32)
+    for m, off, t in zip(mixes, offs, lens):
+        mix_cat[:, off : off + t] = m
+    positions = np.concatenate(pos_parts).astype(np.int32)
+    out = overlap_add_demix(
+        model_fn, mix_cat, chunk, step, window,
+        num_stems=num_stems, batch_size=batch_size, positions=positions,
+        model_params=model_params, mesh=mesh, fetch_stems=fetch_stems,
+        quantized_transfer=quantized_transfer,
+        quantized_upload=quantized_upload,
+    )
+    return [out[..., off : off + t] for off, t in zip(offs, lens)]
+
+
 @functools.partial(jax.jit, static_argnames=("t_need",))
 def _pad_time_to(spec: jnp.ndarray, t_need: int) -> jnp.ndarray:
     t = spec.shape[-1]

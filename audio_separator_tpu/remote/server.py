@@ -171,38 +171,114 @@ class SeparatorService:
         self._queue.put((task_id, upload_path, filename, fields))
         return task_id
 
-    def _run_worker(self):
-        while True:
-            task_id, upload_path, filename, fields = self._queue.get()
-            try:
-                self._process(task_id, upload_path, filename, fields)
-            except Exception as exc:  # job-level isolation
-                logger.exception(f"job {task_id} failed")
-                self.jobs.update_job_status(task_id, {
-                    "status": "error", "error": str(exc), "progress": 0})
-            finally:
-                self._queue.task_done()
+    @staticmethod
+    def _coalesce_cap() -> int:
+        try:
+            return max(1, int(os.environ.get("AUDSEP_SERVER_COALESCE", "4")))
+        except ValueError:
+            return 4
 
-    def _process(self, task_id, upload_path, filename, fields):
+    @staticmethod
+    def _batch_key(fields: Dict[str, str]):
+        """Jobs coalesce when everything that shapes the separation is equal
+        (per-job output names may differ). Presets/multi-model jobs never
+        coalesce — their per-model loops dominate anyway."""
+        if fields.get("preset") or fields.get("models"):
+            return None
+        return tuple(sorted((k, v) for k, v in fields.items()
+                            if k != "custom_output_names"))
+
+    def _run_worker(self):
+        from queue import Empty
+
+        while True:
+            group = [self._queue.get()]
+            cap = self._coalesce_cap()
+            key = self._batch_key(group[0][3])
+            if cap > 1 and key is not None:
+                # Cross-job window batching: same-settings jobs already
+                # sitting in the queue share one engine pass
+                # (ops/demix.demix_jobs) instead of idling the chip through
+                # each other's host/link phases. Non-matching jobs go back.
+                put_back = []
+                while len(group) < cap:
+                    try:
+                        item = self._queue.get_nowait()
+                    except Empty:
+                        break
+                    if self._batch_key(item[3]) == key:
+                        group.append(item)
+                    else:
+                        put_back.append(item)
+                for item in put_back:
+                    self._queue.put(item)
+                    self._queue.task_done()  # ownership returned to the queue
+            try:
+                if len(group) == 1:
+                    task_id, upload_path, filename, fields = group[0]
+                    try:
+                        self._process(task_id, upload_path, filename, fields)
+                    except Exception as exc:  # job-level isolation
+                        logger.exception(f"job {task_id} failed")
+                        self.jobs.update_job_status(task_id, {
+                            "status": "error", "error": str(exc), "progress": 0})
+                else:
+                    self._process_group(group)
+            finally:
+                for _ in group:
+                    self._queue.task_done()
+
+    def _process_group(self, group):
+        """Run a coalesced same-settings group through Separator.separate_batch
+        (one engine pass). Falls back to per-job processing on any group-level
+        failure so coalescing can never make a job less reliable."""
+        ids = [task_id for task_id, _, _, _ in group]
+        try:
+            from ..separator import Separator
+
+            fields = group[0][3]
+            for task_id in ids:
+                self.jobs.update_job_status(
+                    task_id, {"status": "processing", "progress": 10,
+                              "total_models": 1, "current_model_index": 0})
+            out_dir = os.path.join(self.work_dir, "group-" + ids[0])
+            os.makedirs(out_dir, exist_ok=True)
+            separator = self._build_separator(fields, out_dir)
+            model = fields.get("model")
+            separator.load_model(model) if model else separator.load_model()
+            names = [json.loads(f.get("custom_output_names"))
+                     if f.get("custom_output_names") else None
+                     for _, _, _, f in group]
+            per_job = separator.separate_batch(
+                [upload_path for _, upload_path, _, _ in group], names)
+            for (task_id, _, _, _), outputs in zip(group, per_job):
+                files = {}
+                for path in outputs:
+                    full = path if os.path.isabs(path) else os.path.join(out_dir, path)
+                    stored = self.outputs.upload_file(task_id, full)
+                    name = os.path.basename(stored)
+                    files[generate_file_hash(name)] = name
+                self.jobs.update_job_status(task_id, {
+                    "status": "completed", "progress": 100,
+                    "models_used": [model or "default"],
+                    "files": [{"hash": h, "filename": fn}
+                              for h, fn in files.items()],
+                })
+        except Exception:
+            logger.exception(
+                f"coalesced group {ids} failed; reprocessing individually")
+            for task_id, upload_path, filename, fields in group:
+                try:
+                    self._process(task_id, upload_path, filename, fields)
+                except Exception as exc:
+                    logger.exception(f"job {task_id} failed")
+                    self.jobs.update_job_status(task_id, {
+                        "status": "error", "error": str(exc), "progress": 0})
+
+    def _build_separator(self, fields, out_dir):
         from ..separator import Separator
 
-        self.jobs.update_job_status(task_id, {"status": "processing", "progress": 5})
-
-        models = [None]
-        if fields.get("preset"):
-            models = ["__preset__"]
-        elif fields.get("models"):
-            models = json.loads(fields["models"])
-        elif fields.get("model"):
-            models = [fields["model"]]
-
-        custom_output_names = (json.loads(fields["custom_output_names"])
-                               if fields.get("custom_output_names") else None)
-
-        out_dir = os.path.join(self.work_dir, "job-" + task_id)
-        os.makedirs(out_dir, exist_ok=True)
-
-        separator = Separator(
+        return Separator(
             model_file_dir=self.model_file_dir,
             output_dir=out_dir,
             output_format=fields.get("output_format", "flac"),
@@ -245,6 +321,24 @@ class SeparatorService:
                 "pitch_shift": int(fields.get("mdxc_pitch_shift", 0)),
             },
         )
+
+    def _process(self, task_id, upload_path, filename, fields):
+        self.jobs.update_job_status(task_id, {"status": "processing", "progress": 5})
+
+        models = [None]
+        if fields.get("preset"):
+            models = ["__preset__"]
+        elif fields.get("models"):
+            models = json.loads(fields["models"])
+        elif fields.get("model"):
+            models = [fields["model"]]
+
+        custom_output_names = (json.loads(fields["custom_output_names"])
+                               if fields.get("custom_output_names") else None)
+
+        out_dir = os.path.join(self.work_dir, "job-" + task_id)
+        os.makedirs(out_dir, exist_ok=True)
+        separator = self._build_separator(fields, out_dir)
 
         all_files = {}
         models_used = []

@@ -448,6 +448,27 @@ class Separator:
                     self.logger.error(f"Failed to process file {path}: {exc}")
         return output_files
 
+    def separate_batch(self, audio_file_paths: List[str],
+                       custom_output_names_list: Optional[List] = None) -> List[List[str]]:
+        """Separate several files, sharing ONE engine pass when the loaded
+        architecture supports cross-job window batching (MDXC/RoFormer —
+        ops/demix.demix_jobs); otherwise sequential :meth:`separate` calls.
+        Returns one output-file list per input path, order-preserving."""
+        if not self.model_instance:
+            raise ValueError("Load a model before calling separate_batch.")
+        names = custom_output_names_list or [None] * len(audio_file_paths)
+        if len(names) != len(audio_file_paths):
+            raise ValueError("custom_output_names_list length mismatch")
+        batch_fn = getattr(self.model_instance, "separate_batch", None)
+        if batch_fn is not None and len(audio_file_paths) > 1:
+            outputs = batch_fn(audio_file_paths, names)
+            self.model_instance.clear_file_specific_paths()
+            return outputs
+        # Arch without a batch path: sequential, with the full per-file
+        # bookkeeping (chunking, tracing, timing) of a normal separate().
+        return [self._separate_file(p, n)
+                for p, n in zip(audio_file_paths, names)]
+
     def warmup(self, seconds: float = 8.0) -> float:
         """Pre-compile the loaded model's demix programs; returns elapsed s.
 

@@ -404,3 +404,38 @@ def test_demix_mix_token_reuses_uploaded_segments():
                           mix_token=("flood", i), **kw)
     assert len(demix_mod._mix_cache) <= demix_mod._MIX_MAX_TOKENS
     demix_mod._mix_cache.clear()
+
+
+def test_demix_jobs_matches_solo_runs():
+    """Cross-job window batching (demix_jobs): each job's slice equals its
+    solo overlap_add_demix result — no window or OLA crosses a job boundary.
+    Covers a short track (< chunk, clamped single window) in the middle."""
+    from audio_separator_tpu.ops.demix import demix_jobs
+
+    rng = np.random.default_rng(37)
+    chunk, step = 2048, 1500
+    window = np.asarray(hamming_window(chunk))
+    mixes = [rng.standard_normal((2, n)).astype(np.float32)
+             for n in (10000, 1200, 7321)]  # 1200 < chunk
+    batched = demix_jobs(_model, mixes, chunk, step, window,
+                         num_stems=2, batch_size=2)
+    assert len(batched) == 3
+    for mix, got in zip(mixes, batched):
+        solo = overlap_add_demix(_model, mix, chunk, step, window,
+                                 num_stems=2, batch_size=2)
+        assert got.shape == solo.shape == (2, 2, mix.shape[1])
+        np.testing.assert_allclose(got, solo, atol=2e-5)
+
+
+def test_demix_jobs_single_and_empty():
+    from audio_separator_tpu.ops.demix import demix_jobs
+
+    assert demix_jobs(_model, [], 512, 256, np.ones(512, np.float32),
+                      num_stems=2, batch_size=2) == []
+    rng = np.random.default_rng(38)
+    mix = rng.standard_normal((2, 3000)).astype(np.float32)
+    window = np.asarray(hamming_window(512))
+    one = demix_jobs(_model, [mix], 512, 256, window, num_stems=2, batch_size=2)
+    solo = overlap_add_demix(_model, mix, 512, 256, window, num_stems=2,
+                             batch_size=2)
+    np.testing.assert_allclose(one[0], solo, atol=2e-5)

@@ -229,3 +229,84 @@ def test_mdxc_pitch_shift_path(synthetic_model, tmp_path):
         a, b = plain[key].ravel(), shifted[key].ravel()
         corr = np.corrcoef(a, b)[0, 1]
         assert corr > 0.5, (key, corr)
+
+
+def test_mdxc_separate_batch_matches_sequential(synthetic_model, fixtures_dir,
+                                                tmp_path):
+    """Cross-job window batching at the arch level: separate_batch over two
+    files writes the same stems as sequential separate() calls (one engine
+    pass via ops/demix.demix_jobs; residual secondary per job)."""
+    import shutil
+
+    from audio_separator_tpu.architectures.mdxc import MDXCSeparator
+
+    _, ckpt_path, model_data, _ = synthetic_model
+    src = os.path.join(fixtures_dir, "mardy20s.flac")
+    a = str(tmp_path / "track_a.flac")
+    b = str(tmp_path / "track_b.flac")
+    shutil.copy(src, a)
+    shutil.copy(src, b)
+
+    def build(out_dir):
+        common = {
+            "logger": logging.getLogger("test"),
+            "model_name": "test_mel_band_roformer",
+            "model_path": ckpt_path,
+            "model_data": model_data,
+            "output_dir": out_dir,
+            "output_format": "WAV",
+            "normalization_threshold": 0.9,
+            "amplification_threshold": 0.0,
+            "sample_rate": SR,
+        }
+        arch = {"segment_size": 256, "override_model_segment_size": False,
+                "batch_size": 2, "overlap": 2, "pitch_shift": 0}
+        return MDXCSeparator(common_config=common, arch_config=arch), out_dir
+
+    sep_seq, seq_dir = build(str(tmp_path / "seq"))
+    seq_outputs = [sep_seq.separate(a), sep_seq.separate(b)]
+
+    sep_bat, bat_dir = build(str(tmp_path / "bat"))
+    bat_outputs = sep_bat.separate_batch([a, b])
+
+    assert [sorted(o) for o in bat_outputs] == [sorted(o) for o in seq_outputs]
+    for seq_files, bat_files in zip(seq_outputs, bat_outputs):
+        for name in seq_files:
+            ref, _ = audio_io.load_audio(os.path.join(seq_dir, name))
+            got, _ = audio_io.load_audio(os.path.join(bat_dir, name))
+            assert ref.shape == got.shape
+            np.testing.assert_allclose(got, ref, atol=3e-4)
+
+
+def test_mdxc_separate_batch_short_audio_falls_back(synthetic_model, tmp_path):
+    """Tracks under the 10 s segment-size override cannot share geometry —
+    the batch path must fall back to sequential separate()."""
+    from audio_separator_tpu.architectures.mdxc import MDXCSeparator
+
+    _, ckpt_path, model_data, _ = synthetic_model
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"short{i}.wav")
+        pcm = (rng.standard_normal((2, SR * 3)) * 0.2).astype(np.float32)
+        audio_io.save_audio(p, pcm, SR, "WAV")
+        paths.append(p)
+
+    common = {
+        "logger": logging.getLogger("test"),
+        "model_name": "test_mel_band_roformer",
+        "model_path": ckpt_path,
+        "model_data": model_data,
+        "output_dir": str(tmp_path / "out"),
+        "output_format": "WAV",
+        "normalization_threshold": 0.9,
+        "amplification_threshold": 0.0,
+        "sample_rate": SR,
+    }
+    arch = {"segment_size": DIM_T, "override_model_segment_size": False,
+            "batch_size": 2, "overlap": 2, "pitch_shift": 0}
+    sep = MDXCSeparator(common_config=common, arch_config=arch)
+    outputs = sep.separate_batch(paths)
+    assert len(outputs) == 2
+    for files in outputs:
+        assert len(files) == 2

@@ -171,6 +171,9 @@ def test_service_concurrent_workers(tmp_path, monkeypatch):
 
     monkeypatch.setattr(Separator, "load_model", fake_load_model)
     monkeypatch.setattr(Separator, "separate", fake_separate)
+    # This test measures WORKER overlap; same-settings jobs would otherwise
+    # coalesce into one engine group (test_service_coalesces_jobs covers that).
+    monkeypatch.setenv("AUDSEP_SERVER_COALESCE", "1")
 
     service = SeparatorService(work_dir=str(tmp_path / "work"), workers=2)
     assert service.workers == 2
@@ -444,3 +447,63 @@ def test_api_key_gate(monkeypatch, tmp_path):
         assert excinfo.value.code == 401
     finally:
         srv.shutdown()
+
+
+def test_service_coalesces_jobs(tmp_path, monkeypatch):
+    """Same-settings queued jobs run through ONE Separator.separate_batch
+    call (cross-job window batching); a different-settings job stays solo;
+    per-job statuses/files all complete."""
+    from audio_separator_tpu.remote.server import SeparatorService
+    from audio_separator_tpu.separator.separator import Separator
+
+    groups = []
+    solo = []
+    started = threading.Event()
+
+    def fake_load_model(self, model_filename="default"):
+        self.model_filename = str(model_filename)
+        self.model_filenames = [self.model_filename]
+        self.model_instance = object()
+
+    def fake_separate_batch(self, paths, names=None):
+        started.wait(5)  # keep the worker parked until all jobs are queued
+        groups.append(list(paths))
+        outs = []
+        for p in paths:
+            base = os.path.splitext(os.path.basename(p))[0]
+            out = os.path.join(self.output_dir, f"{base}_(Vocals)_fake.wav")
+            with open(out, "wb") as f:
+                f.write(b"RIFF" + b"\0" * 16)
+            outs.append([out])
+        return outs
+
+    def fake_separate(self, audio_file_path, custom_output_names=None):
+        started.wait(5)
+        solo.append(audio_file_path)
+        base = os.path.splitext(os.path.basename(audio_file_path))[0]
+        out = os.path.join(self.output_dir, f"{base}_(Vocals)_fake.wav")
+        with open(out, "wb") as f:
+            f.write(b"RIFF" + b"\0" * 16)
+        return [out]
+
+    monkeypatch.setattr(Separator, "load_model", fake_load_model)
+    monkeypatch.setattr(Separator, "separate_batch", fake_separate_batch)
+    monkeypatch.setattr(Separator, "separate", fake_separate)
+    monkeypatch.setenv("AUDSEP_SERVER_COALESCE", "4")
+
+    service = SeparatorService(work_dir=str(tmp_path / "work"), workers=1)
+    same = {"model": "m.ckpt", "output_format": "wav"}
+    ids = [service.submit(f"t{i}.wav", b"x", dict(same)) for i in range(3)]
+    other = service.submit("o.wav", b"x", {"model": "n.ckpt",
+                                           "output_format": "wav"})
+    started.set()
+    for tid in ids + [other]:
+        st = service.wait(tid, timeout=30)
+        assert st and st["status"] == "completed", st
+        assert len(st["files"]) == 1
+
+    batched = [g for g in groups if len(g) > 1]
+    assert batched and len(batched[0]) >= 2  # same-settings jobs coalesced
+    # the different-settings job never joined a same-settings group
+    assert all("o.wav" not in os.path.basename(p)
+               for g in batched for p in g)
