@@ -21,11 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_mesh_executes_sharded_program(tmp_path):
-    port = _free_port()
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    script = os.path.join(repo, "tools", "dcn_dryrun.py")
-
+def _launch_group(repo, script, port):
     procs = []
     for pid in range(2):
         env = dict(os.environ)
@@ -42,13 +38,35 @@ def test_two_process_mesh_executes_sharded_program(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, script], env=env, cwd=repo,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    return procs
 
+
+def test_two_process_mesh_executes_sharded_program(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "tools", "dcn_dryrun.py")
+
+    # The localhost gloo rendezvous hangs intermittently under load (both
+    # ranks connect, then a collective stalls — observed ~1/10 on this
+    # 1-vCPU host). One retry on a fresh port keeps the test meaningful
+    # without flaking the suite; a genuine wiring bug fails both attempts.
     results = []
-    for p in procs:
-        out, err = p.communicate(timeout=280)
-        assert p.returncode == 0, f"worker failed:\nstdout={out}\nstderr={err}"
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
+    for attempt in range(2):
+        procs = _launch_group(repo, script, _free_port())
+        try:
+            outs = [p.communicate(timeout=120) for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+                p.communicate()
+            if attempt == 0:
+                continue
+            raise
+        results = []
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\nstdout={out}\nstderr={err}"
+            line = [l for l in out.splitlines() if l.startswith("{")][-1]
+            results.append(json.loads(line))
+        break
 
     for r in results:
         assert r["ok"] is True

@@ -45,6 +45,12 @@ switch in tests/conftest.py (re-enables clear_caches between modules):
 Status 2026-08-17: the isolated two-test sequence + clear now runs clean
 (92 s, 2 passed) — the corruption needs the wider suite's heap layout.
 Neither distillation reproduces standalone; the shield in conftest stays.
+
+Status 2026-08-19 (round 4): the FULL suite under standard glibc malloc
+(AUDSEP_NO_MALLOC_DEBUG=1, 322 tests, ~20 min) ran clean, and the bisected
+trigger runs clean with both the host and device VR chains. The bug is not
+currently reproducible on this host at all — see the update block in
+docs/XLA_CPU_HEAP_ISSUE.md for what to capture if it resurfaces.
 """
 
 import os
