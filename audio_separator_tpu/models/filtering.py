@@ -44,22 +44,28 @@ def expectation_maximization(y: jnp.ndarray, x: jnp.ndarray, iterations: int = 2
     sources = y.shape[-1]
     identity = jnp.eye(channels, dtype=x.dtype)
 
+    # Covariance/gain contractions pin Precision.HIGHEST: the backend's
+    # DEFAULT contraction precision is bf16-class on TPU (same trap as
+    # ops/resample.py), and the reference computes these statistics in f32.
+    # The contracted axes are tiny (C=2, S≤5) — the cost is negligible.
+    hi = jax.lax.Precision.HIGHEST
+
     def em_iter(y, _):
         # power spectral densities: mean |y|^2 over channels → (T, F, S)
         v = jnp.mean(jnp.abs(y) ** 2, axis=2)
         # spatial covariance per source: weighted average over frames
         # cov(t,f) = y y^H → (F, C, C, S)
-        cov = jnp.einsum("tfcs,tfds->fcds", y, jnp.conj(y))
+        cov = jnp.einsum("tfcs,tfds->fcds", y, jnp.conj(y), precision=hi)
         weight = jnp.sum(v, axis=0) + eps  # (F, S)
         r = cov / weight[:, None, None, :]
         # mixture covariance (T, F, C, C)
-        cxx = jnp.einsum("tfs,fcds->tfcd", v.astype(x.dtype), r)
+        cxx = jnp.einsum("tfs,fcds->tfcd", v.astype(x.dtype), r, precision=hi)
         cxx = cxx + jnp.sqrt(eps) * identity
         inv_cxx = _invert2(cxx, eps)
         # Wiener gains per source: v_j R_j inv_Cxx → apply to mixture
-        gain = jnp.einsum("fcds,tfde->tfces", r, inv_cxx) \
+        gain = jnp.einsum("fcds,tfde->tfces", r, inv_cxx, precision=hi) \
             * v[..., None, None, :].astype(x.dtype)
-        y_new = jnp.einsum("tfces,tfe->tfcs", gain, x)
+        y_new = jnp.einsum("tfces,tfe->tfcs", gain, x, precision=hi)
         return y_new, None
 
     y, _ = jax.lax.scan(em_iter, y, None, length=iterations)

@@ -257,11 +257,19 @@ def _stft_impl(impl: str | None = None) -> str:
 
 
 def _rfft_frames(frames: jnp.ndarray, impl: str | None = None) -> jnp.ndarray:
-    """rfft over the last axis, impl-switchable ((..., T, n_fft) → complex)."""
+    """rfft over the last axis, impl-switchable ((..., T, n_fft) → complex).
+
+    The matmul path pins Precision.HIGHEST: a DFT-as-matmul at the TPU's
+    DEFAULT (bf16-class) matmul precision is a ~8-bit-mantissa transform —
+    the same trap measured in ops/resample.py. HIGHEST (f32-accurate
+    multi-pass on the MXU) keeps the transform bit-comparable to the fft
+    lowering while still winning on dispatch shape."""
     if _stft_impl(impl) == "matmul":
         cos_m, sin_m = _dft_matrices(frames.shape[-1])
         f32 = frames.astype(jnp.float32)
-        return jax.lax.complex(f32 @ cos_m, -(f32 @ sin_m))
+        hi = jax.lax.Precision.HIGHEST
+        return jax.lax.complex(jnp.matmul(f32, cos_m, precision=hi),
+                               -jnp.matmul(f32, sin_m, precision=hi))
     return jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
 
 
@@ -270,8 +278,9 @@ def _irfft_frames(spec: jnp.ndarray, n_fft: int,
     """irfft over the last axis ((..., T, n_bins) → (..., T, n_fft))."""
     if _stft_impl(impl) == "matmul":
         cos_m, sin_m = _idft_matrices(n_fft)
-        return (spec.real.astype(jnp.float32) @ cos_m
-                + spec.imag.astype(jnp.float32) @ sin_m)
+        hi = jax.lax.Precision.HIGHEST
+        return (jnp.matmul(spec.real.astype(jnp.float32), cos_m, precision=hi)
+                + jnp.matmul(spec.imag.astype(jnp.float32), sin_m, precision=hi))
     return jnp.fft.irfft(spec, n=n_fft, axis=-1)
 
 
