@@ -128,6 +128,10 @@ def main():
     parser.add_argument("--jobs", type=int, default=6)
     parser.add_argument("--seconds", type=float, default=60.0)
     parser.add_argument("--workers", type=str, default="1,2")
+    parser.add_argument("--coalesce", type=str, default="1,4",
+                        help="AUDSEP_SERVER_COALESCE values to sweep per "
+                             "worker count (1 = off; >1 = cross-job window "
+                             "batching via ops/demix.demix_jobs)")
     args = parser.parse_args()
 
     import numpy as np
@@ -136,6 +140,7 @@ def main():
 
     t_start = time.time()
     worker_counts = [int(w) for w in args.workers.split(",")]
+    coalesce_counts = [int(c) for c in args.coalesce.split(",")]
 
     model_dir = tempfile.mkdtemp(prefix="serving-bench-models-")
     model_name = _make_model(model_dir)
@@ -157,18 +162,23 @@ def main():
 
     results = {}
     for w in worker_counts:
-        print(f"[serving] workers={w}: {args.jobs} x {args.seconds:.0f}s jobs",
-              flush=True)
-        wall = _run_config(w, model_dir, model_name, wavs, warm)
-        results[str(w)] = {
-            "jobs": args.jobs,
-            "track_seconds": args.seconds,
-            "wall_s": round(wall, 1),
-            "jobs_per_hour": round(args.jobs * 3600.0 / wall, 1),
-            "aggregate_rtf": round(args.jobs * args.seconds / wall, 2),
-        }
-        print(f"[serving] workers={w}: {wall:.1f}s "
-              f"({results[str(w)]['jobs_per_hour']} jobs/h)", flush=True)
+        for c in coalesce_counts:
+            key = str(w) if c == 1 else f"{w}w_coalesce{c}"
+            os.environ["AUDSEP_SERVER_COALESCE"] = str(c)
+            print(f"[serving] workers={w} coalesce={c}: "
+                  f"{args.jobs} x {args.seconds:.0f}s jobs", flush=True)
+            wall = _run_config(w, model_dir, model_name, wavs, warm)
+            results[key] = {
+                "jobs": args.jobs,
+                "track_seconds": args.seconds,
+                "coalesce": c,
+                "workers": w,
+                "wall_s": round(wall, 1),
+                "jobs_per_hour": round(args.jobs * 3600.0 / wall, 1),
+                "aggregate_rtf": round(args.jobs * args.seconds / wall, 2),
+            }
+            print(f"[serving] workers={w} coalesce={c}: {wall:.1f}s "
+                  f"({results[key]['jobs_per_hour']} jobs/h)", flush=True)
 
     rec = {
         "model": f"mel_roformer dim{DIM} depth{DEPTH} bands{NUM_BANDS}",
