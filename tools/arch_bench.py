@@ -172,12 +172,53 @@ def bench_vr(tmp, mix, passes):
         assert len(outputs) == 2
 
     best, warm = _measure(run, True, passes)
-    return {"rtf": round(mix.shape[-1] / SR / best, 2),
-            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
-            "geometry": {"param": "4band_v2", "bins": n_bins,
-                         "arch_size": arch_size, "window": 512},
-            "note": "full separate() incl. host multiband chain + writes "
-                    "(5_HP-Karaoke-class capacity)"}
+    rec = {"rtf": round(mix.shape[-1] / SR / best, 2),
+           "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
+           "geometry": {"param": "4band_v2", "bins": n_bins,
+                        "arch_size": arch_size, "window": 512},
+           "note": "full separate() via the DEVICE multiband chain "
+                   "(ops/vr_chain.py: one wave H2D, one stems D2H) + writes "
+                   "(5_HP-Karaoke-class capacity)"}
+
+    # Link-quant A/B under the SHIPPED policy (AUDSEP_LINK_QUANT read per
+    # separation; int8 keeps the wave upload at int16 by design). Interleaved
+    # in ONE process so all modes see the same link regime. The device chain
+    # moves only the wave/stems across the link, so the deltas are small by
+    # construction — recorded to supersede the round-3 rows that measured a
+    # non-shipped upload policy over the old host chain's wire traffic.
+    lq = {}
+    base_out, _ = audio_io_load_stems(tmp, sep, wav_path)
+    for mode in ("int16", "int8"):
+        os.environ["AUDSEP_LINK_QUANT"] = mode
+        try:
+            b, w = _measure(run, True, max(1, passes - 1))
+            out, _ = audio_io_load_stems(tmp, sep, wav_path)
+            import numpy as np
+
+            err = np.linalg.norm(base_out - out)
+            snr = (float("inf") if err == 0 else
+                   20 * float(np.log10(np.linalg.norm(base_out) / err)))
+            lq[mode] = {"rtf": round(mix.shape[-1] / SR / b, 2),
+                        "best_pass_s": round(b, 2),
+                        "stem_snr_vs_off_db": round(snr, 1)}
+        finally:
+            os.environ.pop("AUDSEP_LINK_QUANT", None)
+    lq["off"] = {"rtf": rec["rtf"], "best_pass_s": rec["best_pass_s"]}
+    rec["link_quant"] = lq
+    return rec
+
+
+def audio_io_load_stems(tmp, sep, wav_path):
+    """Run one separation and load its two stems as one array (A/B
+    comparisons under whatever AUDSEP_LINK_QUANT is currently set)."""
+    import numpy as np
+
+    from audio_separator_tpu.io import audio as audio_io
+
+    outputs = sep.separate(wav_path)
+    stems = [audio_io.load_audio(os.path.join(tmp, p))[0] for p in outputs]
+    n = min(s.shape[-1] for s in stems)
+    return np.stack([s[..., :n] for s in stems]), outputs
 
 
 def bench_htdemucs(tmp, mix, passes):
