@@ -63,7 +63,8 @@ def window_positions(total: int, chunk: int, step: int) -> np.ndarray:
     jax.jit,
     static_argnames=("model_fn", "chunk", "batch_size", "num_stems",
                      "out_channels", "quantized_transfer", "has_divider",
-                     "normalize", "mesh", "data_axis", "fetch_stems"),
+                     "normalize", "mesh", "data_axis", "fetch_stems",
+                     "post_fn"),
 )
 def _demix_scan(
     model_fn: Callable,
@@ -84,6 +85,7 @@ def _demix_scan(
     mesh=None,
     data_axis: str = "data",
     fetch_stems: tuple | None = None,
+    post_fn: Callable | None = None,
 ):
     c, t_buf = mix.shape
     n = positions.shape[0]
@@ -142,6 +144,12 @@ def _demix_scan(
         # (output_single_stem on a multi-stem model — e.g. 1/4 the fetch
         # bytes for a 4-stem htdemucs). Static tuple → fixed output shape.
         acc = acc[jnp.asarray(fetch_stems, dtype=jnp.int32)]
+    if post_fn is not None:
+        # Device-side post-combine BEFORE the transfer: e.g. the Demucs
+        # shift-trick alignment + average collapses an n_shifts-wide
+        # accumulator to one track's worth of samples, shrinking D2H by
+        # ~2.4x for shifts=2 (the measured htdemucs bottleneck).
+        acc = post_fn(acc)
     if not quantized_transfer:
         return acc, jnp.float32(1.0)
     # Device-side quantisation shrinks the device→host transfer; the scale
@@ -200,6 +208,7 @@ def overlap_add_demix(
     quantized_upload: bool | str | None = None,
     fetch_stems: tuple | None = None,
     mix_token=None,
+    post_device_fn=None,
 ) -> np.ndarray:
     """Demix ``mix (C, T)`` → ``(num_stems, C, T)``.
 
@@ -248,6 +257,14 @@ def overlap_add_demix(
     token must change whenever the mix bytes change (e.g. derive it from the
     audio path + any preprocessing parameters). ``None`` (default) disables
     reuse.
+
+    ``post_device_fn``: optional jit-traceable ``(stems_device) -> array``
+    applied ON DEVICE after normalisation (and ``fetch_stems`` selection),
+    before quantisation/transfer — for combines that shrink the D2H payload
+    (e.g. the Demucs shift-trick alignment+average, which collapses an
+    n_shifts-wide accumulator to one track). Pass a process-stable function
+    object (memoize it): the compiled scan keys on its identity. Forces the
+    single-scan path (its output shape is opaque to the segment pipeliner).
 
     Always pass the weight pytree via ``model_params`` rather than closing
     over device arrays: closed-over arrays are baked into the jaxpr as
@@ -309,6 +326,8 @@ def overlap_add_demix(
         # Round the per-step batch up to the data-axis extent so every device
         # holds at least one window per step.
         batch_size = -(-batch_size // mesh.shape[data_axis]) * mesh.shape[data_axis]
+    if post_device_fn is not None:
+        pipeline_segments = 1  # post output shape is opaque to the pipeliner
     if pipeline_segments > 1 and n >= 2 * batch_size:
         return _pipelined_demix(
             model_fn, mix, chunk, window, shared_window, positions, divider,
@@ -380,11 +399,14 @@ def overlap_add_demix(
         mesh=mesh,
         data_axis=data_axis,
         fetch_stems=fetch_stems,
+        post_fn=post_device_fn,
     )
     # Crop ON DEVICE before fetching: t_buf is bucket-padded (up to ~1/3
     # beyond the track), and D2H bytes are the scarce resource on tethered
     # links — the slice is one cheap device op, the padding never crosses.
-    acc = acc[..., :total]
+    # (post_device_fn owns the shape of its own output.)
+    if post_device_fn is None:
+        acc = acc[..., :total]
     if quantized_transfer:
         return np.asarray(acc).astype(np.float32) / float(scale)
     return np.array(np.asarray(acc))
