@@ -78,3 +78,56 @@ def file_key(path: str) -> Hashable:
 def memoized_device_params(key: Hashable, builder: Callable[[], Any]) -> Any:
     """Process-wide device-resident weight tree for ``key``."""
     return _memoize(_param_cache, _MAX_PARAM_ENTRIES, key, builder)
+
+
+# ---------------------------------------------------------------------------
+# Persistent (on-disk) XLA compile cache. The two caches above make compiled
+# programs survive across Separator instances *within* a process; this makes
+# them survive across processes. Serving cold-start without it pays the full
+# XLA compile of every demix geometry per worker process (measured: the
+# first coalesced-batch geometry cost ~100 s inside a serving window —
+# /tmp/serving_sweep_r4.log workers=1 coalesce=4). The reference has no
+# equivalent (torch/ORT manage their own kernel caches); for an XLA-backed
+# framework this is part of the runtime's job.
+
+_cache_configured = False
+
+
+def enable_persistent_compile_cache(path: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at a durable directory.
+
+    Resolution order: explicit ``path`` arg → ``JAX_COMPILATION_CACHE_DIR``
+    (jax's own env, honoured by leaving config alone) → ``AUDSEP_COMPILE_CACHE``
+    (a path, or ``off``/``0`` to disable) → ``~/.cache/audio_separator_tpu/xla``.
+    Idempotent; returns the directory in use (None when disabled). Safe to
+    call after jax is initialised — only affects compiles that haven't
+    happened yet.
+    """
+    global _cache_configured
+    import os
+
+    if _cache_configured:
+        return _cache_configured if isinstance(_cache_configured, str) else None
+    if path is None:
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            _cache_configured = os.environ["JAX_COMPILATION_CACHE_DIR"]
+            return _cache_configured  # jax reads its own env var itself
+        env = os.environ.get("AUDSEP_COMPILE_CACHE", "")
+        if env.lower() in ("off", "0", "none"):
+            _cache_configured = True
+            return None
+        path = env or os.path.join(
+            os.path.expanduser("~"), ".cache", "audio_separator_tpu", "xla")
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Demix programs take seconds-to-minutes to compile and are worth
+        # persisting; sub-second utility compiles would only bloat the dir.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_configured = path
+        return path
+    except Exception:  # pragma: no cover - unwritable dir / old jax
+        _cache_configured = True
+        return None

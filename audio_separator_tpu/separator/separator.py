@@ -265,6 +265,11 @@ class Separator:
 
         self.logger.info(f"Operating System: {platform.system()} {platform.release()}")
         self.logger.info(f"Python Version: {platform.python_version()}")
+        from ..ops.fn_cache import enable_persistent_compile_cache
+
+        cache_dir = enable_persistent_compile_cache()
+        if cache_dir:
+            self.logger.debug(f"Persistent XLA compile cache: {cache_dir}")
         try:
             devices = self._probe_devices_with_watchdog()
             self.jax_device = devices[0]

@@ -1,5 +1,7 @@
 """Process-level model_fn registry: identity stability across instances."""
 
+import os
+
 import numpy as np
 
 from audio_separator_tpu.ops.fn_cache import memoized_model_fn
@@ -55,6 +57,37 @@ def test_separators_share_model_fn_identity(tmp_path):
     s1, s2 = load(), load()
     assert s1.model_instance is not s2.model_instance
     assert s1.model_instance._model_fn() is s2.model_instance._model_fn()
+
+
+def test_persistent_compile_cache_config(tmp_path, monkeypatch):
+    """enable_persistent_compile_cache points jax at a durable dir (so serving
+    cold-start skips re-compiling every demix geometry per process), honours
+    the off switch, and is idempotent."""
+    import jax
+
+    from audio_separator_tpu.ops import fn_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_flag = fn_cache._cache_configured
+    monkeypatch.setenv("AUDSEP_COMPILE_CACHE", "off")
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    try:
+        # off switch: no config touched
+        fn_cache._cache_configured = False
+        assert fn_cache.enable_persistent_compile_cache() is None
+
+        # explicit path wins, dir is created, config applied, idempotent after
+        fn_cache._cache_configured = False
+        target = str(tmp_path / "xla_cache")
+        assert fn_cache.enable_persistent_compile_cache(target) == target
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        other = str(tmp_path / "other")
+        assert fn_cache.enable_persistent_compile_cache(other) == target
+        assert not os.path.exists(other)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        fn_cache._cache_configured = prev_flag
 
 
 def test_separators_share_device_params(tmp_path):
