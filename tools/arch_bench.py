@@ -290,14 +290,38 @@ def bench_htdemucs(tmp, mix, passes):
     seq_best, seq_warm = _measure(run_sequential, True, max(1, passes - 1))
 
     track_s = mix.shape[-1] / SR
-    return {"rtf": round(track_s / best, 2),
-            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
-            "rtf_sequential_shifts": round(track_s / seq_best, 2),
-            "shift_batch_speedup": round(seq_best / best, 3),
-            "geometry": {**geometry, "params_m": round(n_params / 1e6, 1),
-                         "shifts": 2, "batch": 4},
-            "note": "demix_demucs with shift TTA; A/B batched vs sequential "
-                    "shift passes"}
+    rec = {"rtf": round(track_s / best, 2),
+           "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
+           "rtf_sequential_shifts": round(track_s / seq_best, 2),
+           "shift_batch_speedup": round(seq_best / best, 3),
+           "geometry": {**geometry, "params_m": round(n_params / 1e6, 1),
+                        "shifts": 2, "batch": 4},
+           "note": "demix_demucs with shift TTA; A/B batched vs sequential "
+                   "shift passes"}
+
+    # Link-quant A/B under the SHIPPED policy: the on-chip profile
+    # (PERF_PLAYBOOK "htdemucs profile") shows this pass is stem-fetch
+    # bound (~169 MB f32 at shifts=2 vs a 197x-realtime forward), so the
+    # quantised fetch is where the remaining headroom lives. Interleaved in
+    # ONE process so all modes share the link regime.
+    base_out = run_our_demucs(cfg, params, mix, shifts=2, batch_size=4)
+    lq = {}
+    for mode in ("int16", "int8"):
+        os.environ["AUDSEP_LINK_QUANT"] = mode
+        try:
+            b, _ = _measure(run_batched, True, max(1, passes - 1))
+            out = run_our_demucs(cfg, params, mix, shifts=2, batch_size=4)
+            err = np.linalg.norm(base_out - out)
+            snr = (float("inf") if err == 0 else
+                   20 * float(np.log10(np.linalg.norm(base_out) / err)))
+            lq[mode] = {"rtf": round(track_s / b, 2),
+                        "best_pass_s": round(b, 2),
+                        "stem_snr_vs_off_db": round(snr, 1)}
+        finally:
+            os.environ.pop("AUDSEP_LINK_QUANT", None)
+    lq["off"] = {"rtf": rec["rtf"], "best_pass_s": rec["best_pass_s"]}
+    rec["link_quant"] = lq
+    return rec
 
 
 def bench_mel_kim(tmp, mix, passes):
