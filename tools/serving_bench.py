@@ -101,13 +101,26 @@ def _run_config(workers, model_dir, model_name, wavs, warm_wav):
                                workers=workers)
     fields = {"model": model_name, "output_format": "flac"}
 
-    # Warm: one job end to end compiles the demix program and uploads weights
-    # (process-level caches persist across services, so only the first config
-    # pays the compile).
+    # Warm: one solo job compiles the un-coalesced demix program and uploads
+    # weights, then one full UNMEASURED pass over the same job set compiles
+    # every coalesced group-size geometry the measured pass will hit (6 jobs
+    # at coalesce 4 → group-4 and group-2 programs; without this the first
+    # coalesce config measured ~100 s of XLA compile as queue time). The
+    # persistent compile cache (ops/fn_cache.py) makes later processes skip
+    # these compiles entirely; the warm pass keeps the record honest even on
+    # a cold cache.
     with open(warm_wav, "rb") as f:
         tid = service.submit(os.path.basename(warm_wav), f.read(), dict(fields))
     st = service.wait(tid, timeout=1800)
     assert st and st.get("status") == "completed", st
+    warm_ids = []
+    for wav in wavs:
+        with open(wav, "rb") as f:
+            warm_ids.append(service.submit(os.path.basename(wav), f.read(),
+                                           dict(fields)))
+    for tid in warm_ids:
+        st = service.wait(tid, timeout=1800)
+        assert st and st.get("status") == "completed", st
 
     t0 = time.time()
     ids = []
@@ -184,9 +197,11 @@ def main():
         "model": f"mel_roformer dim{DIM} depth{DEPTH} bands{NUM_BANDS}",
         "results": results,
     }
-    if "1" in results and "2" in results:
-        rec["speedup_2workers"] = round(
-            results["1"]["wall_s"] / results["2"]["wall_s"], 3)
+    best_key = min(results, key=lambda k: results[k]["wall_s"])
+    rec["best"] = {"config": best_key, **results[best_key]}
+    if "1" in results:
+        rec["best"]["speedup_vs_1worker"] = round(
+            results["1"]["wall_s"] / results[best_key]["wall_s"], 3)
     with open(OUT_PATH, "w") as f:
         json.dump(rec, f, indent=1, sort_keys=True)
         f.write("\n")
