@@ -171,12 +171,19 @@ class SeparatorService:
         self._queue.put((task_id, upload_path, filename, fields))
         return task_id
 
-    @staticmethod
-    def _coalesce_cap() -> int:
+    def _coalesce_cap(self) -> int:
+        """Cross-job batching group cap. The measured sweep (SERVING.json,
+        workers {1..4} x coalesce {1,4}) shows coalescing only wins once
+        worker concurrency saturates the host/link phases (>=3 workers:
+        1726 vs 1653 jobs/h at 3, 2011 vs 1358 at 4); at 1-2 workers the
+        solo pipeline is faster (1827 vs 1311 at 1). Default follows the
+        data; AUDSEP_SERVER_COALESCE overrides unconditionally."""
+        default = 4 if self.workers >= 3 else 1
         try:
-            return max(1, int(os.environ.get("AUDSEP_SERVER_COALESCE", "4")))
+            return max(1, int(os.environ.get("AUDSEP_SERVER_COALESCE",
+                                             str(default))))
         except ValueError:
-            return 4
+            return default
 
     @staticmethod
     def _batch_key(fields: Dict[str, str]):

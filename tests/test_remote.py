@@ -507,3 +507,20 @@ def test_service_coalesces_jobs(tmp_path, monkeypatch):
     # the different-settings job never joined a same-settings group
     assert all("o.wav" not in os.path.basename(p)
                for g in batched for p in g)
+
+
+def test_coalesce_default_follows_worker_count(tmp_path, monkeypatch):
+    """The coalesce cap defaults from the measured crossover (SERVING.json):
+    off below 3 workers (solo pipeline is faster there), 4 at >=3 workers;
+    AUDSEP_SERVER_COALESCE overrides either way."""
+    from audio_separator_tpu.remote.server import SeparatorService
+
+    monkeypatch.delenv("AUDSEP_SERVER_COALESCE", raising=False)
+    monkeypatch.delenv("AUDSEP_SERVER_WORKERS", raising=False)
+    svc1 = SeparatorService(work_dir=str(tmp_path / "w1"), workers=1)
+    svc3 = SeparatorService(work_dir=str(tmp_path / "w3"), workers=3)
+    assert svc1._coalesce_cap() == 1
+    assert svc3._coalesce_cap() == 4
+    monkeypatch.setenv("AUDSEP_SERVER_COALESCE", "2")
+    assert svc1._coalesce_cap() == 2
+    assert svc3._coalesce_cap() == 2

@@ -302,25 +302,44 @@ def bench_htdemucs(tmp, mix, passes):
     # Link-quant A/B under the SHIPPED policy: the on-chip profile
     # (PERF_PLAYBOOK "htdemucs profile") shows this pass is stem-fetch
     # bound (~169 MB f32 at shifts=2 vs a 197x-realtime forward), so the
-    # quantised fetch is where the remaining headroom lives. Interleaved in
-    # ONE process so all modes share the link regime.
+    # quantised fetch is where the remaining headroom lives. Modes are
+    # interleaved PASS-BY-PASS (off → int16 → int8, repeated) in one
+    # process: the tether's bandwidth drifts 2-4x between minutes-long
+    # regimes, so consecutive per-mode blocks measure the regime, not the
+    # mode (observed live: an off-block at 24.9 s/pass where a healthy
+    # regime gives 13 s). Best-of per mode across cycles lets every mode
+    # catch the healthiest window that occurs during the run.
     base_out = run_our_demucs(cfg, params, mix, shifts=2, batch_size=4)
-    lq = {}
-    for mode in ("int16", "int8"):
+    lq_best = {"off": best}
+    snr = {}
+    for mode in ("int16", "int8"):  # one-off quantise-kernel warmups
         os.environ["AUDSEP_LINK_QUANT"] = mode
         try:
-            b, _ = _measure(run_batched, True, max(1, passes - 1))
             out = run_our_demucs(cfg, params, mix, shifts=2, batch_size=4)
             err = np.linalg.norm(base_out - out)
-            snr = (float("inf") if err == 0 else
-                   20 * float(np.log10(np.linalg.norm(base_out) / err)))
-            lq[mode] = {"rtf": round(track_s / b, 2),
-                        "best_pass_s": round(b, 2),
-                        "stem_snr_vs_off_db": round(snr, 1)}
+            snr[mode] = (float("inf") if err == 0 else
+                         20 * float(np.log10(np.linalg.norm(base_out) / err)))
         finally:
             os.environ.pop("AUDSEP_LINK_QUANT", None)
-    lq["off"] = {"rtf": rec["rtf"], "best_pass_s": rec["best_pass_s"]}
-    rec["link_quant"] = lq
+    for _ in range(max(2, passes)):
+        for mode in ("off", "int16", "int8"):
+            if mode != "off":
+                os.environ["AUDSEP_LINK_QUANT"] = mode
+            try:
+                t0 = time.time()
+                run_batched()
+                lq_best[mode] = min(time.time() - t0,
+                                    lq_best.get(mode, float("inf")))
+            finally:
+                os.environ.pop("AUDSEP_LINK_QUANT", None)
+    rec["link_quant"] = {
+        mode: {"rtf": round(track_s / b, 2), "best_pass_s": round(b, 2),
+               **({"stem_snr_vs_off_db": round(snr[mode], 1)}
+                  if mode in snr else {})}
+        for mode, b in lq_best.items()}
+    # the headline rtf is the best OFF pass seen anywhere in the run
+    rec["rtf"] = round(track_s / lq_best["off"], 2)
+    rec["best_pass_s"] = round(lq_best["off"], 2)
     return rec
 
 
