@@ -262,7 +262,10 @@ class DemucsSeparator(BaseSeparator):
         # forward ~197x realtime vs ~7.5x e2e before this), so the fetch IS
         # the pass. Offsets come from a per-call seeded rng, so they are
         # stable across calls — the memo key (and the one compile) holds.
-        from ..ops.fn_cache import memoized_model_fn
+        # The key is per-track (exact lengths), so it lives in the dedicated
+        # post-fn LRU: in the shared model_fn registry a varied-length batch
+        # folder would evict hot model identities and force scan recompiles.
+        from ..ops.fn_cache import memoized_post_fn
 
         key = ("demucs-shift-post", span, pad_lead, track_len, length,
                max_shift, tuple(offsets))
@@ -284,7 +287,7 @@ class DemucsSeparator(BaseSeparator):
             positions=positions.astype(np.int32), divider=divider,
             model_params=params, mesh=getattr(self, "mesh", None),
             fetch_stems=fetch if len(fetch) < n_sources else None,
-            post_device_fn=memoized_model_fn(key, _build_post))
+            post_device_fn=memoized_post_fn(key, _build_post))
         return np.asarray(out, dtype=np.float32)
 
     def _model_fn(self, cfg):

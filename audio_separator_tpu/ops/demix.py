@@ -24,6 +24,7 @@ Here one engine runs the whole track as a single jitted device program:
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Callable
 
 import jax
@@ -525,6 +526,13 @@ def tiled_mask_predict(
     return mask[:, :, : n * roi]
 
 
+# Max peak spread within one quantised coalesced pass: 4x bounds the SNR
+# loss of the quietest job vs its solo quantisation at 20*log10(4) ≈ 12 dB
+# (int16 ~90 -> ~78 dB, int8 ~48 -> ~36 dB — both still far below
+# separation error). Outliers get their own engine pass.
+_QUANT_PEAK_RATIO = 4.0
+
+
 def demix_jobs(
     model_fn: Callable,
     mixes: list,
@@ -553,9 +561,51 @@ def demix_jobs(
     while batch padding, pipeline ends, and link transfers amortise across
     jobs. (The reference's scale-out answer is one GPU per job,
     ref: remote/deploy_modal.py:152-378; this fills one chip instead.)
+
+    Under link quantisation the transfer scale is peak-derived over a whole
+    buffer, so a quiet job sharing a pass with a loud one would quantise to
+    a fraction of its solo SNR (a 0.01-peak track next to a 0.9-peak one
+    loses ~39 dB). When fetch or upload quantisation is active, jobs are
+    therefore grouped so peaks within a group stay within
+    ``_QUANT_PEAK_RATIO`` (bounded SNR loss vs solo, ≤12 dB at 4x) and each
+    group runs its own engine pass; exact float mode always shares one pass.
     """
     if not mixes:
         return []
+    if quantized_transfer is None or quantized_upload is None:
+        from .stft import link_quant_mode
+
+        lq = link_quant_mode()
+        if quantized_transfer is None:
+            quantized_transfer = {"int16": True, "int8": "int8"}.get(lq, False)
+        if quantized_upload is None:
+            quantized_upload = bool(lq)
+    if (quantized_transfer or quantized_upload) and len(mixes) > 1:
+        order = sorted(range(len(mixes)),
+                       key=lambda i: float(np.max(np.abs(mixes[i]))) or 1e-30)
+        groups, cur_g = [], [order[0]]
+        cur_floor = max(float(np.max(np.abs(mixes[order[0]]))), 1e-30)
+        for i in order[1:]:
+            peak = max(float(np.max(np.abs(mixes[i]))), 1e-30)
+            if peak <= cur_floor * _QUANT_PEAK_RATIO:
+                cur_g.append(i)
+            else:
+                groups.append(cur_g)
+                cur_g, cur_floor = [i], peak
+        groups.append(cur_g)
+        if len(groups) > 1:
+            results: list = [None] * len(mixes)
+            for g in groups:
+                sub = demix_jobs(
+                    model_fn, [mixes[i] for i in g], chunk, step, window,
+                    num_stems=num_stems, batch_size=batch_size,
+                    model_params=model_params, mesh=mesh,
+                    fetch_stems=fetch_stems,
+                    quantized_transfer=quantized_transfer,
+                    quantized_upload=quantized_upload)
+                for i, stems in zip(g, sub):
+                    results[i] = stems
+            return results
     c = mixes[0].shape[0]
     offs, lens, pos_parts = [], [], []
     cur = 0
@@ -670,10 +720,19 @@ def _segment_groups(n: int, batch_size: int, n_segments: int) -> list:
 # work. Keyed on content hashes; tiny LRU.
 _GEOM_MAX_ENTRIES = 8
 _geom_cache: dict = {}
+# One lock for both module caches: serving runs several worker threads
+# through overlap_add_demix concurrently (remote/server.py, measured up to
+# workers=4), and an unlocked insert+evict races — two threads can pop the
+# same oldest key and the loser's KeyError fails the job.
+_cache_lock = threading.Lock()
 
 
 def _geom_key(positions: np.ndarray, window: np.ndarray, chunk: int,
               extra: tuple) -> tuple:
+    """Key in the ORIGINAL caller order: with per-row (N, chunk) windows the
+    artifacts depend on the (position, window-row) pairing, so hashing a
+    sorted view would collide two calls whose positions are the same multiset
+    paired with different rows."""
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
@@ -683,11 +742,12 @@ def _geom_key(positions: np.ndarray, window: np.ndarray, chunk: int,
 
 
 def _geom_memo(key, builder):
-    hit = _geom_cache.get(key)
-    if hit is None:
-        hit = _geom_cache[key] = builder()
-        while len(_geom_cache) > _GEOM_MAX_ENTRIES:
-            _geom_cache.pop(next(iter(_geom_cache)))
+    with _cache_lock:
+        hit = _geom_cache.get(key)
+        if hit is None:
+            hit = _geom_cache[key] = builder()
+            while len(_geom_cache) > _GEOM_MAX_ENTRIES:
+                _geom_cache.pop(next(iter(_geom_cache)))
     return hit
 
 
@@ -705,11 +765,12 @@ _mix_cache: "dict[tuple, dict]" = {}
 def _mix_segments_for_token(mix_token):
     if mix_token is None:
         return None
-    seg = _mix_cache.get(mix_token)
-    if seg is None:
-        while len(_mix_cache) >= _MIX_MAX_TOKENS:
-            _mix_cache.pop(next(iter(_mix_cache)))
-        seg = _mix_cache[mix_token] = {}
+    with _cache_lock:
+        seg = _mix_cache.get(mix_token)
+        if seg is None:
+            while len(_mix_cache) >= _MIX_MAX_TOKENS:
+                _mix_cache.pop(next(iter(_mix_cache)))
+            seg = _mix_cache[mix_token] = {}
     return seg
 
 
@@ -813,7 +874,7 @@ def _pipelined_demix(
     div_key = (None if divider is None
                else hash(np.asarray(divider, np.float32).tobytes()))
     inv_div, wsegs = _geom_memo(
-        _geom_key(pos_sorted, window, chunk,
+        _geom_key(positions, window, chunk,
                   (len(groups), seg_n, pad_to, device_norm, disjoint, div_key)),
         _build_geom)
 

@@ -56,6 +56,20 @@ def memoized_model_fn(key: Hashable, builder: Callable[[], Callable]) -> Callabl
     return _memoize(_cache, _MAX_ENTRIES, key, builder)
 
 
+# Per-track device-post closures (e.g. the demucs shift-average, keyed on
+# exact track geometry) churn far faster than model fns on varied-length
+# workloads — a 30-track batch folder would flush the whole model_fn LRU
+# above, and every evicted model_fn identity costs a full demix-scan
+# recompile (minutes on a tethered link). Separate small LRU.
+_MAX_POST_ENTRIES = 8
+_post_cache: "OrderedDict[Hashable, Callable]" = OrderedDict()
+
+
+def memoized_post_fn(key: Hashable, builder: Callable[[], Callable]) -> Callable:
+    """Stable identity for per-track ``post_device_fn`` closures."""
+    return _memoize(_post_cache, _MAX_POST_ENTRIES, key, builder)
+
+
 # ---------------------------------------------------------------------------
 # Device-resident parameter cache. load_model device_puts the whole weight
 # tree; serving (a fresh Separator per job) re-shipped ~0.5 GB over the link

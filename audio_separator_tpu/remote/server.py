@@ -187,13 +187,17 @@ class SeparatorService:
 
     @staticmethod
     def _batch_key(fields: Dict[str, str]):
-        """Jobs coalesce when everything that shapes the separation is equal
-        (per-job output names may differ). Presets/multi-model jobs never
-        coalesce — their per-model loops dominate anyway."""
-        if fields.get("preset") or fields.get("models"):
+        """Jobs coalesce when everything that shapes the separation is equal.
+        Presets/multi-model jobs never coalesce — their per-model loops
+        dominate anyway. Jobs with custom_output_names never coalesce either:
+        a group shares ONE output directory, and a custom name maps straight
+        to a filename (no per-job upload-path base), so two jobs asking for
+        the same custom name would silently overwrite each other's stems
+        before the upload loop runs."""
+        if (fields.get("preset") or fields.get("models")
+                or fields.get("custom_output_names")):
             return None
-        return tuple(sorted((k, v) for k, v in fields.items()
-                            if k != "custom_output_names"))
+        return tuple(sorted((k, v) for k, v in fields.items()))
 
     def _run_worker(self):
         from queue import Empty
@@ -206,9 +210,17 @@ class SeparatorService:
                 # Cross-job window batching: same-settings jobs already
                 # sitting in the queue share one engine pass
                 # (ops/demix.demix_jobs) instead of idling the chip through
-                # each other's host/link phases. Non-matching jobs go back.
+                # each other's host/link phases. Non-matching jobs go back to
+                # the tail. The scan is BOUNDED (2*cap lookahead): an
+                # unbounded scan would drain the whole queue per group —
+                # O(N^2) churn on heterogeneous queues, sibling workers
+                # starved of work mid-scan, and unbounded reordering of
+                # non-matching jobs. The queue head itself is always
+                # processed, so every job still makes progress.
                 put_back = []
-                while len(group) < cap:
+                for _ in range(2 * cap):
+                    if len(group) >= cap:
+                        break
                     try:
                         item = self._queue.get_nowait()
                     except Empty:

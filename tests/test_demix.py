@@ -439,3 +439,88 @@ def test_demix_jobs_single_and_empty():
     solo = overlap_add_demix(_model, mix, 512, 256, window, num_stems=2,
                              batch_size=2)
     np.testing.assert_allclose(one[0], solo, atol=2e-5)
+
+
+def test_demix_jobs_quant_peak_grouping():
+    """Under link quantisation, jobs only share a pass with peak-compatible
+    jobs: a quiet track (peak 0.004) next to a loud one (0.9) would other-
+    wise quantise against the loud peak and lose ~47 dB vs its solo SNR.
+    Each job must match its solo quantised run bit-for-bit (own group) or
+    within the bounded-ratio tolerance (shared group)."""
+    from audio_separator_tpu.ops.demix import demix_jobs
+
+    rng = np.random.default_rng(11)
+    chunk, step = 2048, 2048
+    window = np.asarray(hamming_window(chunk))
+    loud = (rng.standard_normal((2, 8000)) * 0.3).astype(np.float32)
+    quiet = (rng.standard_normal((2, 6000)) * 0.001).astype(np.float32)
+    batched = demix_jobs(_model, [loud, quiet], chunk, step, window,
+                         num_stems=2, batch_size=2,
+                         quantized_transfer="int8", quantized_upload="int8")
+    for mix, got in zip([loud, quiet], batched):
+        solo = overlap_add_demix(_model, mix, chunk, step, window,
+                                 num_stems=2, batch_size=2,
+                                 quantized_transfer="int8",
+                                 quantized_upload="int8")
+        err = np.linalg.norm(got - solo)
+        ref = np.linalg.norm(solo)
+        # disparate peaks -> own group -> identical quantisation grid
+        assert err <= 1e-6 * max(ref, 1e-30), (err, ref)
+
+
+def test_demix_jobs_similar_peaks_share_one_pass(monkeypatch):
+    """Peak-compatible jobs still coalesce into ONE engine pass (the whole
+    point); the quant grouping must not degrade that case."""
+    from audio_separator_tpu.ops import demix as demix_mod
+
+    calls = []
+    orig = demix_mod.overlap_add_demix
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(demix_mod, "overlap_add_demix", counting)
+    rng = np.random.default_rng(12)
+    chunk, step = 2048, 2048
+    window = np.asarray(hamming_window(chunk))
+    mixes = [(rng.standard_normal((2, n)) * 0.3).astype(np.float32)
+             for n in (8000, 6000, 7000)]
+    out = demix_mod.demix_jobs(_model, mixes, chunk, step, window,
+                               num_stems=2, batch_size=2,
+                               quantized_transfer="int8",
+                               quantized_upload="int8")
+    assert len(out) == 3 and len(calls) == 1
+
+
+def test_demix_geom_cache_keys_on_position_row_pairing():
+    """Per-row windows: two calls with the same positions multiset but a
+    different (position, window-row) pairing must NOT share a geometry-cache
+    entry — the divider/window sums differ. Before the round-4 fix the key
+    hashed sorted positions, so the second call silently reused the first's
+    normalisation."""
+    rng = np.random.default_rng(13)
+    chunk, step = 1024, 700
+    total = 4000
+    mix = rng.standard_normal((2, total)).astype(np.float32)
+    positions = window_positions(total, chunk, step)
+    rows = np.stack([np.asarray(hamming_window(chunk)) * (0.5 + 0.5 * i)
+                     for i in range(len(positions))]).astype(np.float32)
+    perm = np.argsort(-positions, kind="stable")  # reversed pairing order
+
+    def _nonpointwise(chunks):
+        # a pointwise model cancels the window weights exactly (numerator
+        # and divider scale together); rolling makes the pairing observable
+        rolled = jnp.roll(chunks, 7, axis=-1)
+        return jnp.stack([rolled * 0.5, rolled * -0.25], axis=1)
+
+    def run(pos, win):
+        return overlap_add_demix(_nonpointwise, mix, chunk, step, win,
+                                 num_stems=2, batch_size=2,
+                                 positions=pos.astype(np.int32))
+
+    a = run(positions, rows)
+    b = run(positions[perm], rows[perm])  # same pairing, permuted order
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    c = run(positions, rows[perm])  # genuinely different pairing
+    assert not np.allclose(a, c, atol=1e-3)

@@ -524,3 +524,15 @@ def test_coalesce_default_follows_worker_count(tmp_path, monkeypatch):
     monkeypatch.setenv("AUDSEP_SERVER_COALESCE", "2")
     assert svc1._coalesce_cap() == 2
     assert svc3._coalesce_cap() == 2
+
+
+def test_custom_output_names_never_coalesce(tmp_path):
+    """Coalesced groups share ONE output directory and a custom output name
+    maps straight to a filename, so two jobs with the same custom name would
+    overwrite each other's stems. _batch_key must refuse to coalesce them."""
+    from audio_separator_tpu.remote.server import SeparatorService
+
+    base = {"model": "m.ckpt", "output_format": "wav"}
+    with_names = dict(base, custom_output_names='{"Vocals": "vocals"}')
+    assert SeparatorService._batch_key(base) is not None
+    assert SeparatorService._batch_key(with_names) is None
