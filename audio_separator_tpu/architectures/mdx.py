@@ -116,6 +116,22 @@ class MDXSeparator(BaseSeparator):
 
     # --------------------------------------------------------------- demix
 
+    def _mix_fingerprint(self, mix: np.ndarray) -> str:
+        """Full-bytes content hash of the mix handed to demix(). The cache
+        token must identify the ACTUAL audio — demix() is public API and may
+        be called with arbitrary arrays that must not hit a stale
+        device-resident entry (a strided sample would miss edits between
+        lattice points). Hashing the full buffer costs ~tens of ms per call
+        on this host — under 1% of a demix pass, so no memo (an
+        object-identity memo would go stale if a caller mutated the array
+        in place between calls)."""
+        import hashlib
+
+        buf = np.ascontiguousarray(mix)
+        h = hashlib.blake2b(digest_size=8)
+        h.update(memoryview(buf).cast("B"))
+        return h.hexdigest()
+
     def demix(self, mix: np.ndarray, is_match_mix: bool = False) -> np.ndarray:
         """ref: mdx_separator.py:293-412 semantics, executed as one device scan."""
         if is_match_mix:
@@ -159,11 +175,8 @@ class MDXSeparator(BaseSeparator):
         # with arbitrary slices that must not hit the file's cache entries.
         mix_token = getattr(self, "_mix_token", None)
         if mix_token is not None:
-            import hashlib
-
-            fp = hashlib.blake2b(np.ascontiguousarray(mix[:, ::2048]).tobytes(),
-                                 digest_size=8).hexdigest()
-            mix_token = mix_token + (mix.shape[-1], fp, chunk_size, self.trim)
+            mix_token = mix_token + (mix.shape[-1], self._mix_fingerprint(mix),
+                                     chunk_size, self.trim)
         out = overlap_add_demix(
             self._model_fn(is_match_mix), mixture, chunk_size, step, windows,
             num_stems=1, batch_size=max(1, int(self.batch_size)),

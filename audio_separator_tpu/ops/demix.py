@@ -581,12 +581,14 @@ def demix_jobs(
         if quantized_upload is None:
             quantized_upload = bool(lq)
     if (quantized_transfer or quantized_upload) and len(mixes) > 1:
-        order = sorted(range(len(mixes)),
-                       key=lambda i: float(np.max(np.abs(mixes[i]))) or 1e-30)
+        # One |mix| scan per track (each is a full-buffer reduction on the
+        # serving hot path — don't repeat it in the sort key AND the loop).
+        peaks = [max(float(np.max(np.abs(m))), 1e-30) for m in mixes]
+        order = sorted(range(len(mixes)), key=peaks.__getitem__)
         groups, cur_g = [], [order[0]]
-        cur_floor = max(float(np.max(np.abs(mixes[order[0]]))), 1e-30)
+        cur_floor = peaks[order[0]]
         for i in order[1:]:
-            peak = max(float(np.max(np.abs(mixes[i]))), 1e-30)
+            peak = peaks[i]
             if peak <= cur_floor * _QUANT_PEAK_RATIO:
                 cur_g.append(i)
             else:
@@ -742,10 +744,20 @@ def _geom_key(positions: np.ndarray, window: np.ndarray, chunk: int,
 
 
 def _geom_memo(key, builder):
+    # Build OUTSIDE the lock: the builder does an O(track-length) pass, and
+    # this lock is shared with the mix cache — holding it during a cold build
+    # would stall every concurrent serving worker, even on unrelated keys.
+    # A racing duplicate build is harmless (artifacts are deterministic);
+    # the insert re-checks so one winner is kept.
+    with _cache_lock:
+        hit = _geom_cache.get(key)
+    if hit is not None:
+        return hit
+    built = builder()
     with _cache_lock:
         hit = _geom_cache.get(key)
         if hit is None:
-            hit = _geom_cache[key] = builder()
+            hit = _geom_cache[key] = built
             while len(_geom_cache) > _GEOM_MAX_ENTRIES:
                 _geom_cache.pop(next(iter(_geom_cache)))
     return hit
@@ -873,9 +885,15 @@ def _pipelined_demix(
 
     div_key = (None if divider is None
                else hash(np.asarray(divider, np.float32).tobytes()))
+    # Group SIZES are part of the key, not just the count: (batch_size,
+    # n_segments) pairs can split the same windows as e.g. [10,10,10] vs
+    # [12,12,6] — same len(groups)/seg_n/pad_to, different per-segment
+    # window sums. Sizes + sorted positions fully determine membership
+    # (groups are contiguous in sorted order).
     inv_div, wsegs = _geom_memo(
         _geom_key(positions, window, chunk,
-                  (len(groups), seg_n, pad_to, device_norm, disjoint, div_key)),
+                  (tuple(len(g) for g in groups), seg_n, pad_to,
+                   device_norm, disjoint, div_key)),
         _build_geom)
 
     mix_seg_cache = _mix_segments_for_token(mix_token)

@@ -127,6 +127,10 @@ def _fetch_gcs(gcs_uri: str):
 class SeparatorService:
     """Job queue + worker running the Separator on this host."""
 
+    # Max times a coalescing scan may bounce one job back to the queue tail
+    # before a worker processes it directly (see _run_worker).
+    _MAX_DISPLACE = 8
+
     def __init__(self, work_dir: Optional[str] = None, model_file_dir: Optional[str] = None,
                  job_store=None, output_store=None, workers: Optional[int] = None):
         self.work_dir = work_dir or tempfile.mkdtemp(prefix="audio-separator-remote-")
@@ -137,6 +141,12 @@ class SeparatorService:
         self.uploads_dir = os.path.join(self.work_dir, "uploads")
         os.makedirs(self.uploads_dir, exist_ok=True)
         self._queue: Queue = Queue()
+        # task_id -> times a coalescing scan displaced it to the queue tail.
+        # Bounds reordering: under a sustained same-key stream a mismatched
+        # job could otherwise be re-queued behind new arrivals forever.
+        # Plain dict: per-key get/set/pop are GIL-atomic and the count is a
+        # heuristic bound, so cross-worker races only shift it by ±1.
+        self._displaced: dict = {}
         # Worker concurrency (AUDSEP_SERVER_WORKERS, default 1). A single
         # job's e2e demix is link-bound on tethered hosts (host OLA + H2D/D2H
         # leave chip idle gaps); a second worker thread lets another job's
@@ -215,9 +225,12 @@ class SeparatorService:
                 # unbounded scan would drain the whole queue per group —
                 # O(N^2) churn on heterogeneous queues, sibling workers
                 # starved of work mid-scan, and unbounded reordering of
-                # non-matching jobs. The queue head itself is always
-                # processed, so every job still makes progress.
-                put_back = []
+                # non-matching jobs. Displacements are COUNTED per job: a
+                # mismatched job under a sustained same-key stream would
+                # otherwise bounce to the tail behind new arrivals forever —
+                # after _MAX_DISPLACE bounces this worker holds it and runs
+                # it right after the current group instead of re-queueing.
+                put_back, held = [], []
                 for _ in range(2 * cap):
                     if len(group) >= cap:
                         break
@@ -228,10 +241,17 @@ class SeparatorService:
                     if self._batch_key(item[3]) == key:
                         group.append(item)
                     else:
-                        put_back.append(item)
+                        bounces = self._displaced.get(item[0], 0) + 1
+                        if bounces > self._MAX_DISPLACE:
+                            held.append(item)
+                        else:
+                            self._displaced[item[0]] = bounces
+                            put_back.append(item)
                 for item in put_back:
                     self._queue.put(item)
                     self._queue.task_done()  # ownership returned to the queue
+            else:
+                held = []
             try:
                 if len(group) == 1:
                     task_id, upload_path, filename, fields = group[0]
@@ -244,7 +264,21 @@ class SeparatorService:
                 else:
                     self._process_group(group)
             finally:
-                for _ in group:
+                for item in group:
+                    self._displaced.pop(item[0], None)
+                    self._queue.task_done()
+            # Starvation guard: jobs whose displacement budget ran out are
+            # processed by THIS worker now, individually (they didn't match
+            # this group's key; running them here bounds their latency).
+            for task_id, upload_path, filename, fields in held:
+                self._displaced.pop(task_id, None)
+                try:
+                    self._process(task_id, upload_path, filename, fields)
+                except Exception as exc:
+                    logger.exception(f"job {task_id} failed")
+                    self.jobs.update_job_status(task_id, {
+                        "status": "error", "error": str(exc), "progress": 0})
+                finally:
                     self._queue.task_done()
 
     def _process_group(self, group):
@@ -252,6 +286,7 @@ class SeparatorService:
         (one engine pass). Falls back to per-job processing on any group-level
         failure so coalescing can never make a job less reliable."""
         ids = [task_id for task_id, _, _, _ in group]
+        completed: set = set()
         try:
             from ..separator import Separator
 
@@ -283,10 +318,18 @@ class SeparatorService:
                     "files": [{"hash": h, "filename": fn}
                               for h, fn in files.items()],
                 })
+                completed.add(task_id)
         except Exception:
+            # Only the jobs NOT already marked completed are retried: a
+            # late failure (e.g. upload of job 3 of 4) must not re-run —
+            # or worse, regress to "error" — jobs whose results a client
+            # may already have downloaded.
+            pending = [j for j in group if j[0] not in completed]
             logger.exception(
-                f"coalesced group {ids} failed; reprocessing individually")
-            for task_id, upload_path, filename, fields in group:
+                f"coalesced group {ids} failed; reprocessing "
+                f"{[j[0] for j in pending]} individually "
+                f"({len(completed)} already completed)")
+            for task_id, upload_path, filename, fields in pending:
                 try:
                     self._process(task_id, upload_path, filename, fields)
                 except Exception as exc:

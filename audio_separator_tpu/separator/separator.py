@@ -465,7 +465,12 @@ class Separator:
         if len(names) != len(audio_file_paths):
             raise ValueError("custom_output_names_list length mismatch")
         batch_fn = getattr(self.model_instance, "separate_batch", None)
-        if batch_fn is not None and len(audio_file_paths) > 1:
+        # chunk_duration is a memory/compile-shape protection the caller
+        # opted into — the batch path runs whole tracks through one engine
+        # pass and would silently skip the AudioChunker split that
+        # separate() applies, so chunked configs take the sequential path.
+        if (batch_fn is not None and len(audio_file_paths) > 1
+                and self.chunk_duration is None):
             outputs = batch_fn(audio_file_paths, names)
             self.model_instance.clear_file_specific_paths()
             return outputs

@@ -524,3 +524,32 @@ def test_demix_geom_cache_keys_on_position_row_pairing():
     np.testing.assert_allclose(a, b, atol=2e-5)
     c = run(positions, rows[perm])  # genuinely different pairing
     assert not np.allclose(a, c, atol=1e-3)
+
+
+def test_demix_geom_cache_keys_on_group_layout():
+    """Two calls over the SAME positions/window but different batch sizes
+    split the windows into different contiguous groups (e.g. [10,10,10] at
+    batch 2 x 3 segments vs [12,12,6] at batch 4 x 3 segments) with the same
+    group COUNT — the geometry key must carry the group sizes, not just the
+    count, or the second call reuses the first's per-segment window sums."""
+    from audio_separator_tpu.ops import demix as demix_mod
+
+    rng = np.random.default_rng(17)
+    chunk, step = 1024, 700
+    total = 21000  # exactly 30 windows
+    mix = rng.standard_normal((2, total)).astype(np.float32)
+    window = np.asarray(hamming_window(chunk))
+    ref = _reference_loop(mix, chunk, step, window, 2)
+
+    demix_mod._geom_cache.clear()
+    for bs in (2, 4):
+        out = overlap_add_demix(
+            _model, mix, chunk, step, window, num_stems=2, batch_size=bs,
+            quantized_transfer=True,  # device_norm path: wsegs are live
+            pipeline_segments=3)
+        np.testing.assert_allclose(out, ref, atol=5e-3)  # int16-link tol
+
+    # the two layouts must occupy DISTINCT cache entries
+    layouts = {key[3] for key in demix_mod._geom_cache}
+    assert (10, 10, 10) in layouts, sorted(layouts)
+    assert (12, 12, 6) in layouts, sorted(layouts)

@@ -183,3 +183,20 @@ def test_mdx_autocast_close_to_fp32(mdx_model):
     assert np.isfinite(half).all()
     rel = np.abs(half - full).max() / max(np.abs(full).max(), 1e-6)
     assert rel < 0.1, f"bf16 deviates too much: {rel}"
+
+
+def test_mix_fingerprint_covers_every_byte():
+    """The device-resident mix cache is keyed by a content fingerprint; it
+    must change for ANY byte of the mix (a strided sample would silently
+    reuse a stale cached mix for audio edited between lattice points)."""
+    from audio_separator_tpu.architectures.mdx import MDXSeparator
+
+    rng = np.random.default_rng(0)
+    mix = rng.standard_normal((2, 100_000)).astype(np.float32)
+    base = MDXSeparator._mix_fingerprint(None, mix)
+    for idx in (1, 2047, 2049, 99_999):  # all off the old ::2048 lattice
+        edited = mix.copy()
+        edited[1, idx] += 1e-3
+        assert MDXSeparator._mix_fingerprint(None, edited) != base, idx
+    # and it is a pure content hash: same bytes, same fingerprint
+    assert MDXSeparator._mix_fingerprint(None, mix.copy()) == base

@@ -536,3 +536,128 @@ def test_custom_output_names_never_coalesce(tmp_path):
     with_names = dict(base, custom_output_names='{"Vocals": "vocals"}')
     assert SeparatorService._batch_key(base) is not None
     assert SeparatorService._batch_key(with_names) is None
+
+
+def test_displaced_job_runs_via_starvation_guard(tmp_path, monkeypatch):
+    """A job that a coalescing scan keeps displacing must still complete:
+    once its displacement budget is exhausted the scanning worker holds it
+    and processes it right after the current group instead of re-queueing
+    it behind new arrivals."""
+    from audio_separator_tpu.remote.server import SeparatorService
+    from audio_separator_tpu.separator.separator import Separator
+
+    solo = []
+    started = threading.Event()
+
+    def fake_load_model(self, model_filename="default"):
+        self.model_filename = str(model_filename)
+        self.model_filenames = [self.model_filename]
+        self.model_instance = object()
+
+    def _emit(self, path):
+        base = os.path.splitext(os.path.basename(path))[0]
+        out = os.path.join(self.output_dir, f"{base}_(Vocals)_fake.wav")
+        with open(out, "wb") as f:
+            f.write(b"RIFF" + b"\0" * 16)
+        return out
+
+    def fake_separate_batch(self, paths, names=None):
+        started.wait(5)
+        return [[_emit(self, p)] for p in paths]
+
+    def fake_separate(self, audio_file_path, custom_output_names=None):
+        started.wait(5)
+        solo.append(os.path.basename(audio_file_path))
+        return [_emit(self, audio_file_path)]
+
+    monkeypatch.setattr(Separator, "load_model", fake_load_model)
+    monkeypatch.setattr(Separator, "separate_batch", fake_separate_batch)
+    monkeypatch.setattr(Separator, "separate", fake_separate)
+    monkeypatch.setenv("AUDSEP_SERVER_COALESCE", "4")
+    # budget 0: the first displacement already exceeds it, so the scan must
+    # hold-and-run the mismatched job rather than bounce it to the tail
+    monkeypatch.setattr(SeparatorService, "_MAX_DISPLACE", 0)
+
+    service = SeparatorService(work_dir=str(tmp_path / "work"), workers=1)
+    same = {"model": "m.ckpt", "output_format": "wav"}
+    a1 = service.submit("a1.wav", b"x", dict(same))
+    b = service.submit("b.wav", b"x", {"model": "n.ckpt",
+                                       "output_format": "wav"})
+    rest = [service.submit(f"a{i}.wav", b"x", dict(same)) for i in (2, 3)]
+    started.set()
+    for tid in [a1, b] + rest:
+        st = service.wait(tid, timeout=30)
+        assert st and st["status"] == "completed", st
+    # ran via the guard, not a coalesced group (upload names are
+    # task-id-prefixed)
+    assert any(p.endswith("_b.wav") for p in solo), solo
+    assert not service._displaced  # bookkeeping cleaned up
+
+
+def test_group_failure_retries_only_incomplete_jobs(tmp_path, monkeypatch):
+    """A late group failure (upload of job 2 dies) must not re-run — or
+    regress the status of — jobs already marked completed; only the jobs
+    still pending are reprocessed individually."""
+    from audio_separator_tpu.remote.server import SeparatorService
+    from audio_separator_tpu.separator.separator import Separator
+
+    solo = []
+    started = threading.Event()
+
+    def fake_load_model(self, model_filename="default"):
+        self.model_filename = str(model_filename)
+        self.model_filenames = [self.model_filename]
+        self.model_instance = object()
+
+    def _emit(self, path):
+        base = os.path.splitext(os.path.basename(path))[0]
+        out = os.path.join(self.output_dir, f"{base}_(Vocals)_fake.wav")
+        with open(out, "wb") as f:
+            f.write(b"RIFF" + b"\0" * 16)
+        return out
+
+    def fake_separate_batch(self, paths, names=None):
+        started.wait(5)
+        return [[_emit(self, p)] for p in paths]
+
+    def fake_separate(self, audio_file_path, custom_output_names=None):
+        started.wait(5)
+        solo.append(os.path.basename(audio_file_path))
+        return [_emit(self, audio_file_path)]
+
+    monkeypatch.setattr(Separator, "load_model", fake_load_model)
+    monkeypatch.setattr(Separator, "separate_batch", fake_separate_batch)
+    monkeypatch.setattr(Separator, "separate", fake_separate)
+    monkeypatch.setenv("AUDSEP_SERVER_COALESCE", "4")
+
+    service = SeparatorService(work_dir=str(tmp_path / "work"), workers=1)
+
+    real_upload = service.outputs.upload_file
+    failed_once = []
+
+    def flaky_upload(task_id, path):
+        if "second" in path and not failed_once:
+            failed_once.append(task_id)
+            raise OSError("disk full")
+        return real_upload(task_id, path)
+
+    monkeypatch.setattr(service.outputs, "upload_file", flaky_upload)
+
+    # The worker parks on this solo blocker until everything is queued, so
+    # first+second are both in the queue when the coalescing scan runs.
+    blocker = service.submit("blocker.wav", b"x", {"model": "z.ckpt",
+                                                   "output_format": "wav"})
+    same = {"model": "m.ckpt", "output_format": "wav"}
+    first = service.submit("first.wav", b"x", dict(same))
+    second = service.submit("second.wav", b"x", dict(same))
+    started.set()
+    assert service.wait(blocker, timeout=30)["status"] == "completed"
+    st1 = service.wait(first, timeout=30)
+    st2 = service.wait(second, timeout=30)
+    assert st1 and st1["status"] == "completed", st1
+    assert st2 and st2["status"] == "completed", st2
+    # the failed job was retried once (the group really coalesced), and the
+    # already-completed job never re-ran (upload names are task-id-prefixed)
+    assert failed_once, "jobs never coalesced — blocker setup broken"
+    retried = [p for p in solo if not p.endswith("_blocker.wav")]
+    assert len(retried) == 1 and retried[0].endswith("_second.wav"), solo

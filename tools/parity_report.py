@@ -83,16 +83,62 @@ def main():
                     hop_length=1024, channels=24, scales=3, compensate=1.022)
         return mdx_case(geom, seconds=args.seconds, tmp_dir=tmp)
 
+    def _vr_chain(mode):
+        """Run a VR case under a pinned multiband-chain implementation and
+        record which one in the meta (round 4 made the jitted device chain
+        the shipped default; the host chain remains the oracle-exact
+        fallback — both deserve a committed production-geometry number)."""
+        prev = os.environ.get("AUDSEP_VR_CHAIN")
+        os.environ["AUDSEP_VR_CHAIN"] = mode
+
+        def restore():
+            if prev is None:
+                os.environ.pop("AUDSEP_VR_CHAIN", None)
+            else:
+                os.environ["AUDSEP_VR_CHAIN"] = prev
+
+        return restore
+
     def vr_4band(tmp):
-        return vr_case("4band_v2", 33966, seconds=args.seconds, tmp_dir=tmp,
-                       window_size=512, aggression=5, enable_tta=True)
+        restore = _vr_chain("device")
+        try:
+            deltas, meta = vr_case(
+                "4band_v2", 33966, seconds=args.seconds, tmp_dir=tmp,
+                window_size=512, aggression=5, enable_tta=True)
+        finally:
+            restore()
+        meta["chain"] = "device"
+        return deltas, meta
 
     def vr_4band_full(tmp):
         # every post-inference flag on: TTA + artifact post-process +
-        # high-end mirroring, at a hotter aggression setting
-        return vr_case("4band_v2", 33966, seconds=args.seconds, tmp_dir=tmp,
-                       window_size=512, aggression=10, enable_tta=True,
-                       enable_post_process=True, high_end_process=True)
+        # high-end mirroring, at a hotter aggression setting — through the
+        # SHIPPED default (the jitted device multiband chain)
+        restore = _vr_chain("device")
+        try:
+            deltas, meta = vr_case(
+                "4band_v2", 33966, seconds=args.seconds, tmp_dir=tmp,
+                window_size=512, aggression=10, enable_tta=True,
+                enable_post_process=True, high_end_process=True)
+        finally:
+            restore()
+        meta["chain"] = "device"
+        return deltas, meta
+
+    def vr_4band_full_hostchain(tmp):
+        # same flags through the host-numpy chain (AUDSEP_VR_CHAIN=host):
+        # pins the algorithmic-exactness story independent of the device
+        # chain's float-accumulation noise
+        restore = _vr_chain("host")
+        try:
+            deltas, meta = vr_case(
+                "4band_v2", 33966, seconds=args.seconds, tmp_dir=tmp,
+                window_size=512, aggression=10, enable_tta=True,
+                enable_post_process=True, high_end_process=True)
+        finally:
+            restore()
+        meta["chain"] = "host"
+        return deltas, meta
 
     def mdx_hq3_denoise(tmp):
         geom = dict(n_fft=6144, dim_f=2560, dim_t_log2=8, segment_size=256,
@@ -111,6 +157,7 @@ def main():
         "mdx_inst_hq3": mdx_hq3,
         "vr_4band_v2": vr_4band,
         "vr_4band_full": vr_4band_full,
+        "vr_4band_full_hostchain": vr_4band_full_hostchain,
         "mdx_hq3_denoise": mdx_hq3_denoise,
         "htdemucs": htdemucs,
     }
