@@ -204,9 +204,10 @@ class VRSeparator(BaseSeparator):
     # ------------------------------------------------- device-resident chain
 
     def _use_device_chain(self) -> bool:
-        """The on-device multiband chain is the default; ``AUDSEP_VR_CHAIN=
-        host`` opts back to the numpy chain (kept for parity tests and the
-        one packaged ``reverse`` geometry the device chain cannot bucket)."""
+        """The on-device multiband chain is the default for EVERY packaged
+        geometry (including ``reverse``, handled by a true-prefix flip);
+        ``AUDSEP_VR_CHAIN=host`` opts back to the numpy chain (kept for
+        parity tests)."""
         mode = os.environ.get("AUDSEP_VR_CHAIN", "device").strip().lower()
         return mode != "host" and vr_chain.supports_device_chain(self.mp)
 

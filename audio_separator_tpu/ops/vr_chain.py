@@ -28,8 +28,14 @@ ref: uvr_lib_v5/spec_utils.py:232-470, vr_separator.py:255-375):
   deterministic in the band JSON — they are baked as static mask constants
   at trace time, replacing the reference's per-bin Python loops.
 
-``mp["reverse"]`` configs (one packaged band JSON) flip the wave in time,
-which is hostile to tail zero-padding — those fall back to the host chain.
+``mp["reverse"]`` configs (one packaged band JSON) flip the wave in time
+per band before the STFT and flip each band's istft output back after
+synthesis (ref: spec_utils.py:273-313). A naive ``jnp.flip`` of the bucketed
+buffer would move the tail zero-padding to the HEAD, breaking prefix
+equality — instead the flip is a dynamic gather over the TRUE prefix
+(``w[true_len-1-i]`` for ``i < true_len``, zero after), which keeps the
+flipped content in the prefix and the padding in the tail. Every geometry,
+including ``reverse``, therefore runs on device.
 """
 
 from __future__ import annotations
@@ -81,9 +87,11 @@ def band_geometry(mp: Dict, is_v51: bool) -> tuple:
 
 
 def supports_device_chain(mp: Dict) -> bool:
-    """``reverse`` configs time-flip the wave per band — a tail zero-pad
-    becomes a HEAD pad under the flip, breaking prefix equality."""
-    return not mp.get("reverse")
+    """Every packaged geometry runs on device. ``reverse`` configs (round-4's
+    one host-fallback) are handled by a true-prefix flip (:func:`_flip_true`)
+    that keeps bucket padding in the tail; kept as a hook for genuinely
+    unbucketable future geometries."""
+    return True
 
 
 def _res_len(n: int, sr_from: int, sr_to: int) -> int:
@@ -220,6 +228,19 @@ def _ratio(sr_from: int, sr_to: int) -> tuple:
     return frac.numerator, frac.denominator
 
 
+def _flip_true(x: jnp.ndarray, true_len) -> jnp.ndarray:
+    """Time-flip the TRUE prefix of ``x`` (last axis), keeping zeros in the
+    tail: ``out[i] = x[true_len-1-i]`` for ``i < true_len``, else 0. This is
+    the bucket-safe form of the reference's ``np.flip`` on an exact-length
+    wave (spec_utils.wave_to_spectrogram / spectrogram_to_wave ``reverse``
+    branches, ref: spec_utils.py:273-313): a plain ``jnp.flip`` of the padded
+    buffer would move the zero-padding to the head and break the chain's
+    prefix-equality invariant."""
+    idx = jnp.arange(x.shape[-1], dtype=jnp.int32)
+    src = jnp.clip(true_len - 1 - idx, 0, x.shape[-1] - 1)
+    return jnp.take(x, src, axis=-1) * (idx < true_len)
+
+
 def _mask_tail(x: jnp.ndarray, true_len) -> jnp.ndarray:
     """Zero samples at/after ``true_len`` (a traced scalar). Resampling a
     zero-padded signal leaves FIR ring-out past the true end where the
@@ -245,8 +266,6 @@ def build_analyze(geom: tuple, t_bucket: int):
     it when high_end_process is off.
     """
     bands, bins, pre_start, pre_stop, mid_side, mid_side_b2, reverse, is_v51 = geom
-    if reverse:
-        raise ValueError("reverse configs use the host chain")
     n_bands = len(bands)
     lens = _wave_lengths(geom, t_bucket)
     lb = min(1 + lw // bp[1] for lw, bp in zip(lens, bands))
@@ -267,7 +286,11 @@ def build_analyze(geom: tuple, t_bucket: int):
                 n_frame = jnp.minimum(n_frame, 1 + true_len // bands[d][1])
             x = w
             if not is_v51:
-                if mid_side:
+                # Same precedence as the reference's if/elif chain
+                # (spec_utils.wave_to_spectrogram:282-313).
+                if reverse:
+                    x = _flip_true(x, true_len)
+                elif mid_side:
                     x = jnp.stack([(x[0] + x[1]) / 2, x[0] - x[1]])
                 elif mid_side_b2:
                     x = jnp.stack([x[1] + x[0] * 0.5, x[0] - x[1] * 0.5])
@@ -397,6 +420,10 @@ def build_synthesize(geom: tuple, lb: int, high_end: bool):
                                 frame_valid=frame_valid), ln_true)
         if is_v51:
             return _convert_channels_inv(wave, bands[d][9])
+        if reverse:
+            # Flip each band's istft output back over its TRUE length
+            # (spec_utils.spectrogram_to_wave:315-339 reverse branch).
+            return _flip_true(wave, ln_true)
         left, right = wave[..., 0, :], wave[..., 1, :]
         if mid_side:
             return jnp.stack([left + right / 2, left - right / 2], axis=-2)

@@ -226,10 +226,47 @@ def test_mid_side_v5_variant():
     assert _snr_db(wy_ref, np.asarray(waves)[0][..., :out_len]) > 75
 
 
-def test_reverse_config_falls_back_to_host():
+def test_reverse_config_runs_on_device():
+    """The one packaged ``reverse`` geometry class (4band_44100_reverse.json)
+    must run the full device chain — analyze AND synthesize — with parity vs
+    the host chain (which is itself reference-oracle-pinned). Round 4 fell
+    back to the 2.84x-class host chain here; the device chain now implements
+    the per-band time-flip as a true-prefix gather."""
     mp = _mp_3band_v5(reverse=True)
-    assert not vr_chain.supports_device_chain(mp)
-    assert vr_chain.supports_device_chain(_mp_3band_v5())
+    assert vr_chain.supports_device_chain(mp)
+    geom = vr_chain.band_geometry(mp, False)
+    sr_top = mp["band"][3]["sr"]
+    rng = np.random.default_rng(17)
+    t_true = int(sr_top * 1.43)
+    wave = rng.standard_normal((2, t_true)).astype(np.float32) * 0.3
+
+    ref_spec, _ = _host_analyze(wave, mp, False)
+    n_frame = ref_spec.shape[2]
+    t_bucket = bucket_up(t_true, sr_top // 4)
+    lb = vr_chain.chain_frames(geom, t_bucket)
+    padded = np.zeros((2, t_bucket), np.float32)
+    padded[:, :t_true] = wave
+    spec_c, _ = vr_chain.build_analyze(geom, t_bucket)(
+        jnp.asarray(padded), jnp.int32(t_true))
+    got = np.asarray(spec_c)
+    assert _snr_db(ref_spec, got[:, :, :n_frame]) > 80
+    np.testing.assert_array_equal(got[:, :, n_frame:], 0)
+
+    mask = rng.uniform(0.0, 1.0, (2, mp["bins"] + 1, n_frame)).astype(np.float32)
+    mag = np.abs(ref_spec)
+    phase = np.exp(1.0j * np.angle(ref_spec))
+    wy_ref = vr_bands.cmb_spectrogram_to_wave(
+        np.nan_to_num(mask * mag * phase), mp, is_v51_model=False)
+    wv_ref = vr_bands.cmb_spectrogram_to_wave(
+        np.nan_to_num((1 - mask) * mag * phase), mp, is_v51_model=False)
+
+    mask_pad = np.zeros((2, mp["bins"] + 1, lb), np.float32)
+    mask_pad[:, :, :n_frame] = mask
+    waves = np.asarray(vr_chain.build_synthesize(geom, lb, False)(
+        jnp.asarray(mask_pad), spec_c, jnp.int32(n_frame)))
+    out_len = vr_chain.synth_out_len(geom, n_frame)
+    assert _snr_db(wy_ref, waves[0][..., :out_len]) > 75
+    assert _snr_db(wv_ref, waves[1][..., :out_len]) > 75
 
 
 def test_separator_device_vs_host_end_to_end(fixtures_dir, tmp_path, monkeypatch):
