@@ -132,15 +132,22 @@ class MDXSeparator(BaseSeparator):
         h.update(memoryview(buf).cast("B"))
         return h.hexdigest()
 
-    def demix(self, mix: np.ndarray, is_match_mix: bool = False) -> np.ndarray:
-        """ref: mdx_separator.py:293-412 semantics, executed as one device scan."""
+    def _pass_geometry(self, is_match_mix: bool) -> tuple:
+        """(chunk_size, overlap, step) for a demix pass
+        (ref: mdx_separator.py:300-311 match-mix overrides)."""
         if is_match_mix:
             chunk_size = self.hop_length * (self.segment_size - 1)
             overlap = 0.02
         else:
             chunk_size = self.chunk_size
             overlap = self.overlap
+        return chunk_size, overlap, int((1 - overlap) * chunk_size)
 
+    def _job_layout(self, mix: np.ndarray, chunk_size: int, overlap: float,
+                    step: int) -> tuple:
+        """One track's engine layout: trim-padded mixture, clamped window
+        positions, per-position ``np.hanning(actual)`` tail windows, and the
+        host overlap divider (ref: mdx_separator.py:330-366)."""
         gen_size = chunk_size - 2 * self.trim
         pad = gen_size + self.trim - (mix.shape[-1] % gen_size)
         mixture = np.concatenate(
@@ -148,7 +155,6 @@ class MDXSeparator(BaseSeparator):
              np.zeros((2, pad), np.float32)], axis=1)
         total = mixture.shape[-1]
 
-        step = int((1 - overlap) * chunk_size)
         positions = np.arange(0, total, step, dtype=np.int32)
         n = len(positions)
 
@@ -164,7 +170,13 @@ class MDXSeparator(BaseSeparator):
                 w = np.ones(actual, dtype=np.float32)
             windows[row, :actual] = w
             divider[start : start + actual] += w
-        divider = np.maximum(divider, 1e-10)
+        return mixture, positions, windows, np.maximum(divider, 1e-10)
+
+    def demix(self, mix: np.ndarray, is_match_mix: bool = False) -> np.ndarray:
+        """ref: mdx_separator.py:293-412 semantics, executed as one device scan."""
+        chunk_size, overlap, step = self._pass_geometry(is_match_mix)
+        mixture, positions, windows, divider = self._job_layout(
+            mix, chunk_size, overlap, step)
 
         # Mix-resident token: separate() runs the SAME padded mixture through
         # the engine twice (primary pass + match-mix pass with a different
@@ -186,6 +198,24 @@ class MDXSeparator(BaseSeparator):
         )
         tar_waves = out[0][:, self.trim : -self.trim][:, : mix.shape[-1]]
         return tar_waves
+
+    def _demix_batch(self, mixes: list, is_match_mix: bool = False) -> list:
+        """K same-model tracks through ONE engine pass (cross-job window
+        batching, ops/demix.demix_jobs_layout): MDX geometry is fixed per
+        model, so any group of tracks shares the scanned program — batch
+        padding, pipeline ends, and link transfers amortise across jobs.
+        Each job's slice is exactly its solo :meth:`demix` result."""
+        from ..ops.demix import demix_jobs_layout
+
+        chunk_size, overlap, step = self._pass_geometry(is_match_mix)
+        jobs = [self._job_layout(np.asarray(m, dtype=np.float32),
+                                 chunk_size, overlap, step) for m in mixes]
+        outs = demix_jobs_layout(
+            self._model_fn(is_match_mix), jobs, chunk_size, step,
+            num_stems=1, batch_size=max(1, int(self.batch_size)),
+            model_params=self._onnx_params, mesh=self.mesh)
+        return [o[0][:, self.trim : -self.trim][:, : m.shape[-1]]
+                for o, m in zip(outs, mixes)]
 
     # -------------------------------------------------------------- separate
 
@@ -215,7 +245,6 @@ class MDXSeparator(BaseSeparator):
         if not isinstance(self.primary_source, np.ndarray):
             self.primary_source = source.T
 
-        output_files = []
         if not isinstance(self.secondary_source, np.ndarray):
             raw_mix = self.demix(mix, is_match_mix=True)
             if self.invert_using_spec:
@@ -224,6 +253,12 @@ class MDXSeparator(BaseSeparator):
             else:
                 self.secondary_source = (-self.primary_source * self.compensate) + mix.T
 
+        return self._write_outputs(custom_output_names)
+
+    def _write_outputs(self, custom_output_names: Optional[Dict]) -> list:
+        """Write secondary then primary (reference order,
+        ref: mdx_separator.py:184-202), honoring output_single_stem."""
+        output_files = []
         if (not self.output_single_stem
                 or self.output_single_stem.lower() == self.secondary_stem_name.lower()):
             path = self.get_stem_output_path(self.secondary_stem_name, custom_output_names)
@@ -235,3 +270,50 @@ class MDXSeparator(BaseSeparator):
             self.final_process(path, self.primary_source, self.primary_stem_name)
             output_files.append(path)
         return output_files
+
+    def separate_batch(self, audio_file_paths: list,
+                       custom_output_names_list: Optional[list] = None) -> list:
+        """Separate several files through shared engine passes (cross-job
+        window batching): one batched primary pass for the whole group, plus
+        one batched match-mix pass when ``invert_using_spec`` needs it. MDX
+        geometry is per-model-fixed so every group is batchable — unlike the
+        RoFormer path there is no pitch-shift or short-audio override to
+        fall back on. Returns one output-file list per input, each byte-
+        identical to a solo :meth:`separate` of the same file."""
+        names = custom_output_names_list or [None] * len(audio_file_paths)
+        if len(audio_file_paths) <= 1:
+            return [self.separate(p, n)
+                    for p, n in zip(audio_file_paths, names)]
+
+        mixes, peaks = [], []
+        for path in audio_file_paths:
+            self.audio_file_path = path
+            mix = self.prepare_mix(path)
+            peaks.append(np.abs(mix).max())
+            mixes.append(spec_ops.normalize(mix, self.normalization_threshold,
+                                            self.amplification_threshold))
+
+        primaries = self._demix_batch(mixes)
+        # The match-mix pass (STFT→iSTFT passthrough, no net) feeds only
+        # invert_stem; waveform-subtraction secondaries never read it, so the
+        # batch path skips it then (outputs are unchanged — solo separate()
+        # runs it unconditionally for reference call-shape parity only).
+        raw_mixes = (self._demix_batch(mixes, is_match_mix=True)
+                     if self.invert_using_spec else [None] * len(mixes))
+
+        outputs = []
+        for path, custom, mix, peak, src, raw in zip(
+                audio_file_paths, names, mixes, peaks, primaries, raw_mixes):
+            self.primary_source = None
+            self.secondary_source = None
+            self.audio_file_path = path
+            self.audio_file_base = os.path.splitext(os.path.basename(path))[0]
+            self.primary_source = (src * peak).T
+            if self.invert_using_spec:
+                self.secondary_source = spec_ops.invert_stem(
+                    raw, self.primary_source.T * self.compensate)
+            else:
+                self.secondary_source = (
+                    -self.primary_source * self.compensate) + mix.T
+            outputs.append(self._write_outputs(custom))
+        return outputs

@@ -533,6 +533,37 @@ def tiled_mask_predict(
 _QUANT_PEAK_RATIO = 4.0
 
 
+def _peak_groups(peaks: list) -> list:
+    """Group job indices so peaks within a group stay within
+    ``_QUANT_PEAK_RATIO`` (ascending-peak greedy sweep). One group ⇒ the
+    whole set can share a quantised engine pass."""
+    order = sorted(range(len(peaks)), key=peaks.__getitem__)
+    groups, cur_g = [], [order[0]]
+    cur_floor = peaks[order[0]]
+    for i in order[1:]:
+        if peaks[i] <= cur_floor * _QUANT_PEAK_RATIO:
+            cur_g.append(i)
+        else:
+            groups.append(cur_g)
+            cur_g, cur_floor = [i], peaks[i]
+    groups.append(cur_g)
+    return groups
+
+
+def _resolve_link_policy(quantized_transfer, quantized_upload):
+    """Fill ``None`` transfer knobs from the deployment-wide
+    ``AUDSEP_LINK_QUANT`` policy (same rule as ``overlap_add_demix``)."""
+    if quantized_transfer is None or quantized_upload is None:
+        from .stft import link_quant_mode
+
+        lq = link_quant_mode()
+        if quantized_transfer is None:
+            quantized_transfer = {"int16": True, "int8": "int8"}.get(lq, False)
+        if quantized_upload is None:
+            quantized_upload = bool(lq)
+    return quantized_transfer, quantized_upload
+
+
 def demix_jobs(
     model_fn: Callable,
     mixes: list,
@@ -572,29 +603,13 @@ def demix_jobs(
     """
     if not mixes:
         return []
-    if quantized_transfer is None or quantized_upload is None:
-        from .stft import link_quant_mode
-
-        lq = link_quant_mode()
-        if quantized_transfer is None:
-            quantized_transfer = {"int16": True, "int8": "int8"}.get(lq, False)
-        if quantized_upload is None:
-            quantized_upload = bool(lq)
+    quantized_transfer, quantized_upload = _resolve_link_policy(
+        quantized_transfer, quantized_upload)
     if (quantized_transfer or quantized_upload) and len(mixes) > 1:
         # One |mix| scan per track (each is a full-buffer reduction on the
         # serving hot path — don't repeat it in the sort key AND the loop).
         peaks = [max(float(np.max(np.abs(m))), 1e-30) for m in mixes]
-        order = sorted(range(len(mixes)), key=peaks.__getitem__)
-        groups, cur_g = [], [order[0]]
-        cur_floor = peaks[order[0]]
-        for i in order[1:]:
-            peak = peaks[i]
-            if peak <= cur_floor * _QUANT_PEAK_RATIO:
-                cur_g.append(i)
-            else:
-                groups.append(cur_g)
-                cur_g, cur_floor = [i], peak
-        groups.append(cur_g)
+        groups = _peak_groups(peaks)
         if len(groups) > 1:
             results: list = [None] * len(mixes)
             for g in groups:
@@ -626,6 +641,90 @@ def demix_jobs(
     out = overlap_add_demix(
         model_fn, mix_cat, chunk, step, window,
         num_stems=num_stems, batch_size=batch_size, positions=positions,
+        model_params=model_params, mesh=mesh, fetch_stems=fetch_stems,
+        quantized_transfer=quantized_transfer,
+        quantized_upload=quantized_upload,
+    )
+    return [out[..., off : off + t] for off, t in zip(offs, lens)]
+
+
+def demix_jobs_layout(
+    model_fn: Callable,
+    jobs: list,
+    chunk: int,
+    step: int,
+    num_stems: int,
+    batch_size: int,
+    model_params=None,
+    mesh=None,
+    fetch_stems: tuple | None = None,
+    quantized_transfer: bool | str | None = None,
+    quantized_upload: bool | str | None = None,
+) -> list:
+    """Cross-job window batching for architectures whose demix uses an
+    EXPLICIT per-job layout — ``jobs`` is a list of
+    ``(mixture (C, total_i), positions_i (N_i,), windows_i (N_i, chunk),
+    divider_i (total_i,))`` tuples, e.g. MDX's trim-padded mixtures with
+    per-position ``np.hanning(actual)`` tail windows and a host divider
+    (architectures/mdx.py). Same guarantee as :func:`demix_jobs`: each job's
+    slice is EXACTLY its solo ``overlap_add_demix`` result (windows never
+    cross a job boundary; each job's divider normalises only its own span)
+    while batch padding, pipeline ends, and link transfers amortise across
+    the group. Returns the full per-job accumulator ``(num_stems, C,
+    total_i)`` — callers crop their own trim.
+
+    Quantised modes reuse the peak-ratio grouping (``_QUANT_PEAK_RATIO``):
+    the transfer scale is peak-derived over the whole shared buffer, so
+    quiet jobs are split from loud ones to bound their SNR loss vs solo.
+    """
+    if not jobs:
+        return []
+    quantized_transfer, quantized_upload = _resolve_link_policy(
+        quantized_transfer, quantized_upload)
+    if (quantized_transfer or quantized_upload) and len(jobs) > 1:
+        peaks = [max(float(np.max(np.abs(j[0]))), 1e-30) for j in jobs]
+        groups = _peak_groups(peaks)
+        if len(groups) > 1:
+            results: list = [None] * len(jobs)
+            for g in groups:
+                sub = demix_jobs_layout(
+                    model_fn, [jobs[i] for i in g], chunk, step,
+                    num_stems=num_stems, batch_size=batch_size,
+                    model_params=model_params, mesh=mesh,
+                    fetch_stems=fetch_stems,
+                    quantized_transfer=quantized_transfer,
+                    quantized_upload=quantized_upload)
+                for i, stems in zip(g, sub):
+                    results[i] = stems
+            return results
+
+    c = jobs[0][0].shape[0]
+    offs, lens, pos_parts, win_parts, div_parts = [], [], [], [], []
+    cur = 0
+    for mixture, positions, windows, divider in jobs:
+        if mixture.shape[0] != c:
+            raise ValueError("demix_jobs_layout: jobs must share channel count")
+        t = int(mixture.shape[1])
+        positions = np.asarray(positions, dtype=np.int32)
+        # Each job spans at least its own widest window so a gather never
+        # reads a neighbour's samples.
+        span = max(t, int(positions.max()) + chunk)
+        offs.append(cur)
+        lens.append(t)
+        pos_parts.append(positions + cur)
+        win_parts.append(np.asarray(windows, dtype=np.float32))
+        div = np.ones(span, dtype=np.float32)
+        div[: len(divider)] = divider
+        div_parts.append(div)
+        cur += span
+    mix_cat = np.zeros((c, cur), dtype=np.float32)
+    for (mixture, *_), off, t in zip(jobs, offs, lens):
+        mix_cat[:, off : off + t] = mixture
+    out = overlap_add_demix(
+        model_fn, mix_cat, chunk, step, np.concatenate(win_parts, axis=0),
+        num_stems=num_stems, batch_size=batch_size,
+        positions=np.concatenate(pos_parts).astype(np.int32),
+        divider=np.concatenate(div_parts),
         model_params=model_params, mesh=mesh, fetch_stems=fetch_stems,
         quantized_transfer=quantized_transfer,
         quantized_upload=quantized_upload,

@@ -185,6 +185,60 @@ def test_mdx_autocast_close_to_fp32(mdx_model):
     assert rel < 0.1, f"bf16 deviates too much: {rel}"
 
 
+def test_mdx_separate_batch_matches_solo(mdx_model, tmp_path):
+    """Cross-job window batching (MDXSeparator.separate_batch →
+    ops/demix.demix_jobs_layout): a coalesced group's outputs must equal the
+    per-file solo separate() outputs — windows never cross a job boundary
+    and each job's divider normalises only its own span."""
+    from audio_separator_tpu.architectures.mdx import MDXSeparator
+
+    _, onnx_path, model_data = mdx_model
+    rng = np.random.default_rng(3)
+    paths = []
+    for i, secs in enumerate((1.3, 0.9, 2.1)):  # distinct window counts
+        p = str(tmp_path / f"in{i}.wav")
+        wav = (rng.standard_normal((2, int(44100 * secs))) * 0.2).astype(np.float32)
+        audio_io.save_audio(p, wav, 44100)
+        paths.append(p)
+
+    def make_sep(out_name):
+        common = {
+            "logger": logging.getLogger("test"),
+            "model_name": "m", "model_path": onnx_path,
+            "model_data": model_data,
+            "output_dir": str(tmp_path / out_name),
+            "output_format": "WAV",
+            "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+            "sample_rate": 44100,
+        }
+        arch = {"hop_length": HOP, "segment_size": SEGMENT, "overlap": 0.25,
+                "batch_size": 2, "enable_denoise": False}
+        return MDXSeparator(common_config=common, arch_config=arch)
+
+    solo_sep = make_sep("solo")
+    solo_outs = [solo_sep.separate(p) for p in paths]
+    batch_sep = make_sep("batch")
+    batch_outs = batch_sep.separate_batch(paths)
+
+    assert [sorted(map(os.path.basename, o)) for o in batch_outs] == \
+        [sorted(map(os.path.basename, o)) for o in solo_outs]
+    for solo_files, batch_files in zip(solo_outs, batch_outs):
+        for s, b in zip(sorted(solo_files), sorted(batch_files)):
+            a, _ = audio_io.load_audio(os.path.join(str(tmp_path / "solo"), s))
+            c, _ = audio_io.load_audio(os.path.join(str(tmp_path / "batch"), b))
+            assert a.shape == c.shape
+            np.testing.assert_allclose(a, c, atol=2e-4, rtol=0)
+
+    # and the engine-level batch equals per-track demix exactly-ish
+    mixes = [np.ascontiguousarray(
+        audio_io.load_audio(p, sample_rate=44100, channels=2)[0]) for p in paths]
+    batched = batch_sep._demix_batch(mixes)
+    for m, got in zip(mixes, batched):
+        solo = batch_sep.demix(m)
+        assert got.shape == solo.shape
+        np.testing.assert_allclose(got, solo, atol=1e-5, rtol=0)
+
+
 def test_mix_fingerprint_covers_every_byte():
     """The device-resident mix cache is keyed by a content fingerprint; it
     must change for ANY byte of the mix (a strided sample would silently
