@@ -254,28 +254,27 @@ def main():
     # ---- stage 2: end-to-end demix over the full track ----
     window = np.asarray(hamming_window(chunk))
 
-    # Link-precision A/B: (stem fetch, mix upload) combos. int8 fetch halves
-    # the D2H bytes at ~48 dB SNR (far below separation error — a shipped
-    # opt-in production mode, quantized_transfer="int8"); int8 upload halves
-    # the H2D bytes too (quantises the model's input at ~48 dB SNR — also a
-    # shipped opt-in, quantized_upload="int8"). AUDSEP_D2H pins the fetch
-    # (upload stays int16); unset, stage 2 measures all three combos and
-    # records the best pass with its modes.
-    # Cheapest link bytes FIRST: in a degraded link regime (observed 5x
-    # slowdowns lasting minutes) the first warmup may be all that fits, and
-    # the quarter-byte combo both warms fastest and benches fastest.
+    # Link-precision A/B: (stem fetch, mix upload) combos. The HEADLINE rides
+    # the SHIPPED DEFAULT — int16 both ways (ops/stft.link_quant_mode TPU
+    # default; measured output cost ≤0.003 dB museval-SDR, LINK_QUANT_SDR.
+    # json) — so the perf claim and the quality claim are the same mode
+    # (round-4 verdict item 1). int8x2 (int8 fetch + int8 upload, quantises
+    # the model's *input* at ~48 dB SNR) and f32 (the exact-transfer
+    # baseline) are measured alongside and emitted in rtf_per_mode.
+    # AUDSEP_D2H pins a single mode. Headline mode FIRST: in a degraded link
+    # regime (observed 5x slowdowns lasting minutes) the first warmup may be
+    # all that fits — it must be the mode the record quotes.
     env_d2h = os.environ.get("AUDSEP_D2H", "").lower()
     if env_d2h == "int8":
-        d2h_modes = [("int8", "int8", True)]
+        d2h_modes = [("int8x2", "int8", "int8")]
+    elif env_d2h in ("f32", "off", "float32"):
+        d2h_modes = [("f32", False, False)]
     elif env_d2h:
         d2h_modes = [("int16", True, True)]
     else:
-        # Two modes, not three (round-4 trim): each warmup costs ~7 s healthy
-        # and minutes in a degraded link regime — the middle combo (int8
-        # fetch, int16 upload) never won a round and its warmup ate a
-        # measured pass. int8x2 is the headline candidate, int16 the
-        # lossless-equivalent number emitted alongside.
-        d2h_modes = [("int8x2", "int8", "int8"), ("int16", True, True)]
+        d2h_modes = [("int16", True, True), ("int8x2", "int8", "int8"),
+                     ("f32", False, False)]
+    headline_mode = d2h_modes[0][0]
 
     # The mix is generated ONCE, outside the measured passes: host RNG on the
     # single shared vCPU costs seconds per 240 s track and is file-decode
@@ -346,12 +345,17 @@ def main():
         # link outage, not the engine; stage 1's record stands.
         _mark("stage-2: no measured pass within budget; keeping stage-1 record")
         return
-    # rtf_per_mode makes cross-round comparisons independent of which combo
-    # won: int16 is the lossless-equivalent baseline (~90 dB SNR both ways),
-    # int8x2 quantises the model's input (~48 dB SNR) so its RTF is only
-    # comparable against itself.
-    _emit(seconds / elapsed, "e2e_demix",
-          {"track_s": seconds, "passes": passes, "d2h": best_mode,
+    # The official value is the SHIPPED-DEFAULT mode's best pass (headline
+    # mode == default mode, round-4 verdict item 1); other modes appear in
+    # rtf_per_mode only. Fallback to the fastest measured mode (flagged via
+    # "d2h") only when a degraded link starved the headline mode of passes.
+    if headline_mode in best_per_mode:
+        value_mode, value_t = headline_mode, best_per_mode[headline_mode]
+    else:
+        value_mode, value_t = best_mode, elapsed
+    _emit(seconds / value_t, "e2e_demix",
+          {"track_s": seconds, "passes": passes, "d2h": value_mode,
+           "default_mode": headline_mode,
            "model_only_rtf": round(rtf_model, 2),
            "rtf_per_mode": {k: round(seconds / v, 2)
                             for k, v in sorted(best_per_mode.items())}})

@@ -32,6 +32,59 @@ def test_list_supported_model_files_structure(tmp_path):
     assert "filename" in any_entry and "download_files" in any_entry
 
 
+def test_every_scored_model_is_pinned_offline(tmp_path):
+    """VERDICT r4 item 5: the full published catalog (every model in
+    scores.json — the reference's models-scores.json) must resolve OFFLINE
+    to {arch, filename, download plan}. Families must each meet or beat the
+    reference's first-party models.json counts (vr 2 / mdx 1 / mdxc 80 /
+    demucs 0)."""
+    import json
+    from importlib import resources
+
+    with resources.files("audio_separator_tpu.data").joinpath(
+            "scores.json").open("r", encoding="utf-8") as f:
+        scored = set(json.load(f))
+    with resources.files("audio_separator_tpu.data").joinpath(
+            "registry.json").open("r", encoding="utf-8") as f:
+        registry = json.load(f)
+
+    assert len(registry["vr"]) >= 29
+    assert len(registry["mdx"]) >= 39
+    assert len(registry["mdxc"]) >= 80
+    assert len(registry["demucs"]) >= 4
+
+    pinned = {e["filename"] for fam in registry.values() for e in fam.values()}
+    missing = scored - pinned
+    assert not missing, f"scored models without a pinned entry: {sorted(missing)}"
+
+    # every pinned entry is internally resolvable: MDXC ships exactly one
+    # config YAML alongside the checkpoint; VR/MDX are single files; Demucs
+    # bags carry explicit weight URLs plus the yaml
+    for name, e in registry["mdxc"].items():
+        yamls = [f for f in e["download_files"] if f.endswith((".yaml", ".json"))]
+        assert yamls, f"MDXC entry {name} has no config file"
+    for fam in ("vr", "mdx"):
+        for name, e in registry[fam].items():
+            assert e["download_files"] == [e["filename"]], name
+    for name, e in registry["demucs"].items():
+        assert any(f.endswith((".th", ".yaml")) or f.startswith("http")
+                   for f in e["download_files"]), name
+
+
+def test_pinned_models_resolve_to_download_plan_without_network(tmp_path):
+    """download_model_files on a sample of pinned-only (non-first-party)
+    catalog models must reach the FETCH stage offline (RuntimeError
+    'network disabled'), not fall through to 'not found' (ValueError)."""
+    reg = ModelRegistry(str(tmp_path), logging.getLogger("t"), allow_network=False)
+    for fn in ("3_HP-Vocal-UVR.pth",                 # catalog VR
+               "UVR_MDXNET_9482.onnx",               # catalog MDX
+               "hdemucs_mmi.yaml",                   # catalog demucs bag
+               "MDX23C_D1581.ckpt",                  # catalog MDXC
+               "melband_roformer_inst_v2.ckpt"):     # catalog roformer
+        with pytest.raises(RuntimeError, match="network disabled"):
+            reg.download_model_files(fn)
+
+
 def test_download_missing_model_gives_actionable_error(tmp_path):
     reg = ModelRegistry(str(tmp_path), logging.getLogger("t"), allow_network=False)
     with pytest.raises(Exception) as ei:

@@ -208,3 +208,28 @@ def test_link_quant_transfers():
             del os.environ["AUDSEP_LINK_QUANT"]
         else:
             os.environ["AUDSEP_LINK_QUANT"] = old
+
+
+def test_link_quant_platform_default(monkeypatch):
+    """Unset, the link policy defaults to int16 on TPU backends and off
+    elsewhere (LINK_QUANT_SDR.json is the measured basis); an explicit
+    ``off`` wins everywhere."""
+    import jax
+
+    from audio_separator_tpu.ops import stft
+
+    monkeypatch.delenv("AUDSEP_LINK_QUANT", raising=False)
+    monkeypatch.setattr(stft, "_platform_default", None)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert stft.link_quant_mode() == "int16"
+
+    monkeypatch.setattr(stft, "_platform_default", None)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert stft.link_quant_mode() == ""
+
+    monkeypatch.setattr(stft, "_platform_default", None)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("AUDSEP_LINK_QUANT", "off")
+    assert stft.link_quant_mode() == ""
+    monkeypatch.setenv("AUDSEP_LINK_QUANT", "int8")
+    assert stft.link_quant_mode() == "int8"

