@@ -1,7 +1,7 @@
 """Host-side audio I/O.
 
 Decode/encode runs on the host CPU through the first-party native codec
-library (``native/codec.cpp``, linked against libavformat/libavcodec), taking
+library (``io/codec.cpp``, linked against libavformat/libavcodec), taking
 the place of the reference's ffmpeg-subprocess + pydub + soundfile + librosa
 stack (ref: audio_separator/separator/common_separator.py:217-451,
 separator.py:344-357). A pure-Python WAV path is kept as a fallback so the
@@ -34,15 +34,12 @@ def _build_native() -> Optional[str]:
     """Attempt to build the codec library from source (first import on a new
     machine). Returns the library path or None.
 
-    The source ships INSIDE the package (io/codec.cpp, kept in sync with the
-    canonical native/codec.cpp by native/build.sh + a drift test) so a pip
-    install or a source-mounted deployment (Modal) can self-build; the repo
-    layout's native/codec.cpp is the fallback for working-tree use."""
+    The single source of truth ships INSIDE the package (io/codec.cpp), so a
+    pip install, a source-mounted deployment (Modal), or the repo working
+    tree all self-build from the same file (native/build.sh compiles the
+    same path)."""
     out = os.path.join(_HERE, _LIB_NAME)
     src = os.path.join(_HERE, "codec.cpp")
-    if not os.path.exists(src):
-        src = os.path.join(os.path.dirname(os.path.dirname(_HERE)),
-                           "native", "codec.cpp")
     if not os.path.exists(src):
         return None
     cmd = [
@@ -123,7 +120,7 @@ def _codec_cli() -> Optional[str]:
         return _cli_path or None
     path = os.path.join(_HERE, _CLI_NAME)
     if not os.path.exists(path):
-        src = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native", "codec.cpp")
+        src = os.path.join(_HERE, "codec.cpp")
         try:
             subprocess.run(
                 ["g++", "-O2", "-std=c++17", "-DAUDSEP_CLI", src,

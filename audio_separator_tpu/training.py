@@ -1,18 +1,21 @@
-"""Fine-tuning support: a sharded jitted train step for the RoFormer family.
+"""Fine-tuning support: sharded jitted train steps for the RoFormer family
+and HTDemucs.
 
 The reference is inference-only; models are trained elsewhere and shipped as
 checkpoints. Here training is a first-class (if auxiliary) capability of the
 framework because everything needed already exists TPU-natively: the
-functional forward (models/roformer.py), the torch-parity multi-resolution
-STFT loss (ops/losses.py, ref bs_roformer.py:519-562 formula), and the
-Megatron TP / chunk-DP sharding policies (parallel/mesh.py). The step is one
-jitted program: forward → loss → grads → optax update, with parameter
-shardings pinned on the outputs so the updated tree keeps the TP layout
-across steps (no silent replication drift).
+functional forwards (models/roformer.py, models/htdemucs.py), the
+torch-parity multi-resolution STFT loss (ops/losses.py, ref
+bs_roformer.py:519-562 formula; HTDemucs trains on time-domain L1, the
+demucs recipe), and the Megatron TP / chunk-DP sharding policies
+(parallel/mesh.py: roformer_param_shardings / htdemucs_param_shardings).
+Each step is one jitted program: forward → loss → grads → optax update,
+with parameter shardings pinned on the outputs so the updated tree keeps
+the TP layout across steps (no silent replication drift).
 
 Typical use (see tools/finetune.py for a runnable demo):
 
-    cfg = ...RoformerConfig...
+    cfg = ...RoformerConfig... (or models.htdemucs.HTDemucsConfig)
     params = init_roformer_params(cfg, seed=0)
     tx = optax.adamw(1e-4)
     step, opt_state = make_train_step(cfg, tx, params, mesh=mesh)
@@ -27,12 +30,13 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .models.htdemucs import HTDemucsConfig, apply_hdemucs, apply_htdemucs
 from .models.roformer import RoformerConfig, apply_roformer
 from .ops.losses import roformer_training_loss
 
 
 def make_train_step(
-    cfg: RoformerConfig,
+    cfg,  # RoformerConfig | models.htdemucs.HTDemucsConfig
     optimizer,  # optax.GradientTransformation
     params,
     mesh=None,
@@ -43,35 +47,49 @@ def make_train_step(
     hop_length: int = 147,
     multi_stft_weight: float = 1.0,
 ) -> Tuple[Any, Any]:
-    """Build ``(step, opt_state)`` for ``cfg``.
+    """Build ``(step, opt_state)`` for ``cfg`` (RoFormer or HTDemucs).
 
     ``step(params, opt_state, mix, target) -> (params, opt_state, loss)`` is
     a single jitted program. With ``mesh``, the batch shards over
-    ``data_axis`` and params/optimizer state keep the Megatron TP layout
-    (``parallel.mesh.roformer_param_shardings``); XLA SPMD inserts the
-    gradient all-reduces. ``window_sizes`` must each be ≤ the training
-    segment length (shrink them for short synthetic segments).
-    """
+    ``data_axis`` and params/optimizer state keep the family's Megatron TP
+    layout (``parallel.mesh.roformer_param_shardings`` /
+    ``htdemucs_param_shardings``); XLA SPDM inserts the gradient
+    all-reduces. RoFormer trains on the reference's L1 + multi-resolution
+    STFT objective (``window_sizes`` must each be ≤ the training segment
+    length — shrink for short synthetic segments); HTDemucs trains on
+    time-domain L1 over stems (the demucs recipe; the STFT-loss kwargs are
+    ignored there)."""
+    is_roformer = isinstance(cfg, RoformerConfig)
     batch_sharding = None
     param_shardings = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from .parallel.mesh import roformer_param_shardings
+        from .parallel.mesh import (htdemucs_param_shardings,
+                                    roformer_param_shardings)
 
         batch_sharding = NamedSharding(mesh, P(data_axis))
-        param_shardings = roformer_param_shardings(params, mesh)
+        param_shardings = (roformer_param_shardings(params, mesh) if is_roformer
+                           else htdemucs_param_shardings(params, mesh))
         params = jax.tree.map(jax.device_put, params, param_shardings)
 
     opt_state = optimizer.init(params)
 
-    def loss_fn(p, mix, target):
-        out = apply_roformer(p, cfg, mix, compute_dtype=compute_dtype)
-        out = out[..., : target.shape[-1]]
-        total, (l1, multi) = roformer_training_loss(
-            out, target, stft_n_fft=stft_n_fft, window_sizes=window_sizes,
-            hop_length=hop_length, multi_stft_weight=multi_stft_weight)
-        return total
+    if is_roformer:
+        def loss_fn(p, mix, target):
+            out = apply_roformer(p, cfg, mix, compute_dtype=compute_dtype)
+            out = out[..., : target.shape[-1]]
+            total, (l1, multi) = roformer_training_loss(
+                out, target, stft_n_fft=stft_n_fft, window_sizes=window_sizes,
+                hop_length=hop_length, multi_stft_weight=multi_stft_weight)
+            return total
+    else:
+        apply = apply_hdemucs if cfg.arch == "hdemucs" else apply_htdemucs
+
+        def loss_fn(p, mix, target):
+            out = apply(p, cfg, mix, compute_dtype=compute_dtype)
+            out = out[..., : target.shape[-1]]
+            return jnp.mean(jnp.abs(out - target))
 
     def _step(p, state, mix, target):
         if batch_sharding is not None:

@@ -139,18 +139,18 @@ def test_mono_file_prepare_mix_stereoifies(tmp_path):
     np.testing.assert_allclose(out[0], out[1])
 
 
-def test_packaged_codec_source_in_sync_with_native():
-    """audio_separator_tpu/io/codec.cpp (the copy pip/Modal deployments
-    self-build from, see io/audio._build_native) must match the canonical
-    native/codec.cpp — native/build.sh refreshes it; this pins the drift."""
+def test_codec_source_is_single_and_buildable_path():
+    """One codec source of truth: the packaged io/codec.cpp (what pip/Modal
+    self-build from AND what native/build.sh compiles). The former duplicate
+    native/codec.cpp must stay deleted — a reintroduced copy silently drifts."""
     import audio_separator_tpu.io as io_pkg
 
     io_dir = os.path.dirname(os.path.abspath(io_pkg.__file__))
-    packaged = os.path.join(io_dir, "codec.cpp")
-    canonical = os.path.join(os.path.dirname(os.path.dirname(io_dir)),
-                             "native", "codec.cpp")
-    if not os.path.exists(canonical):
-        pytest.skip("installed layout: no native/ tree to compare against")
-    with open(packaged, "rb") as f1, open(canonical, "rb") as f2:
-        assert f1.read() == f2.read(), (
-            "io/codec.cpp drifted from native/codec.cpp — run native/build.sh")
+    assert os.path.exists(os.path.join(io_dir, "codec.cpp"))
+    repo = os.path.dirname(os.path.dirname(io_dir))
+    native_dir = os.path.join(repo, "native")
+    if os.path.isdir(native_dir):
+        assert not os.path.exists(os.path.join(native_dir, "codec.cpp")), (
+            "native/codec.cpp reintroduced — io/codec.cpp is the single source")
+        with open(os.path.join(native_dir, "build.sh")) as f:
+            assert "audio_separator_tpu/io/codec.cpp" in f.read()

@@ -113,4 +113,24 @@ def test_production_parity_report_committed():
     assert cases["mdx_inst_hq3"]["meta"]["dim_f"] == 2560
     assert cases["vr_4band_v2"]["meta"]["bins"] == 672
     assert cases["htdemucs"]["meta"]["nfft"] == 4096
+
+
+@pytest.mark.skipif(not os.environ.get("AUDSEP_PARITY_QUICK"),
+                    reason="opt-in: AUDSEP_PARITY_QUICK=1 re-derives every "
+                           "parity case at reduced geometry (~minutes)")
+def test_parity_quick_rederivation():
+    """Runs tools/parity_report.py --quick end to end: every PARITY case
+    re-derived at reduced depth/width through the SAME code paths, asserted
+    within 3 dB of the committed PARITY_QUICK.json (the tool exits non-zero
+    on regression). The cheap between-rounds gate for the 4,000 s full tier."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "parity_report.py"),
+         "--quick"],
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
     assert cases["htdemucs"]["meta"]["channels"] == 48

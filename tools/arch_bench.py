@@ -443,6 +443,191 @@ def bench_ensemble_batch(tmp, mix, passes):
                     "folder steady state"}
 
 
+def _timed_audio_io():
+    """Context manager: patch io.audio load/save so a measured pass itemises
+    codec decode and stem-write time (VERDICT r4 item 2: the product-surface
+    record must show decode → demix → write, not just engine time)."""
+    import contextlib
+
+    from audio_separator_tpu.io import audio as audio_io
+
+    times = {"decode_s": 0.0, "write_s": 0.0}
+
+    @contextlib.contextmanager
+    def ctx():
+        orig_load, orig_save = audio_io.load_audio, audio_io.save_audio
+
+        def timed_load(*a, **k):
+            t0 = time.time()
+            try:
+                return orig_load(*a, **k)
+            finally:
+                times["decode_s"] += time.time() - t0
+
+        def timed_save(*a, **k):
+            t0 = time.time()
+            try:
+                return orig_save(*a, **k)
+            finally:
+                times["write_s"] += time.time() - t0
+
+        audio_io.load_audio, audio_io.save_audio = timed_load, timed_save
+        try:
+            yield times
+        finally:
+            audio_io.load_audio, audio_io.save_audio = orig_load, orig_save
+
+    return ctx, times
+
+
+def bench_separate_e2e(tmp, mix, passes):
+    """Official PRODUCT-SURFACE RTF: ``Separator().load_model()`` +
+    ``separate()`` on a real ~4-min WAV on disk — codec decode → demix →
+    stem writes, through the public facade (the surface users call; the
+    number comparable to the reference's "<2 min on a T4",
+    ref: audio_separator/remote/README.md:5-7). Flagship BS-RoFormer
+    geometry and htdemucs, synthetic weights at real shapes loaded through
+    the local-model path (real checkpoints cannot be downloaded here)."""
+    import logging
+
+    import numpy as np
+    import torch
+    import yaml as yaml_mod
+
+    from audio_separator_tpu.io import audio as audio_io
+    from audio_separator_tpu.separator.separator import Separator
+
+    # Real-music 4-min input: tile the 20 s fixture (decode cost scales with
+    # length either way; content realism matters for normalize/write paths).
+    track_s = mix.shape[-1] / SR
+    fixture = "/root/reference/tests/inputs/mardy20s.flac"
+    music, _ = audio_io.load_audio(fixture, sample_rate=SR, channels=2)
+    reps = max(1, int(np.ceil(track_s * SR / music.shape[-1])))
+    music = np.tile(music, (1, reps))[:, : int(track_s * SR)].astype("float32")
+    wav_path = os.path.join(tmp, "bench_4min.wav")
+    audio_io.save_audio(wav_path, music, SR)
+    del music
+
+    out = {}
+
+    def product_pass(sep, path):
+        ctx, times = _timed_audio_io()
+        with ctx():
+            t0 = time.time()
+            files = sep.separate(path)
+            total = time.time() - t0
+        assert files, "no stems written"
+        return total, times
+
+    def measure(sep, label):
+        best, best_phases, warm_s = float("inf"), None, 0.0
+        t0 = time.time()
+        product_pass(sep, wav_path)  # warm/compile
+        warm_s = time.time() - t0
+        for _ in range(passes):
+            total, phases = product_pass(sep, wav_path)
+            if total < best:
+                best, best_phases = total, phases
+        rec = {"rtf": round(track_s / best, 2),
+               "best_pass_s": round(best, 2), "warm_s": round(warm_s, 1),
+               "phases_s": {
+                   "decode": round(best_phases["decode_s"], 2),
+                   "stem_writes": round(best_phases["write_s"], 2),
+                   "demix_and_glue": round(
+                       best - best_phases["decode_s"]
+                       - best_phases["write_s"], 2)},
+               "surface": "Separator.load_model + Separator.separate "
+                          "(WAV in → stem WAVs out)",
+               "link_quant": os.environ.get("AUDSEP_LINK_QUANT")
+                             or "int16 (TPU default)"}
+        out[label] = rec
+        _mark(f"separate_e2e[{label}]: {rec['rtf']}x "
+              f"(decode {rec['phases_s']['decode']}s, "
+              f"writes {rec['phases_s']['stem_writes']}s)")
+
+    # ---- flagship BS-RoFormer through the facade (local ckpt + yaml) ----
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from parity_cases import build_ref_roformer
+    from audio_separator_tpu.models.init_params import FLAGSHIP_FREQS_PER_BANDS
+
+    geom = dict(dim=512, depth=12, stereo=True, num_stems=2,
+                time_transformer_depth=1, freq_transformer_depth=1,
+                freqs_per_bands=tuple(FLAGSHIP_FREQS_PER_BANDS),
+                dim_head=64, heads=8, stft_n_fft=2048, stft_hop_length=441,
+                stft_win_length=2048, mask_estimator_depth=2)
+    _mark("separate_e2e: building flagship-geometry torch checkpoint "
+          "(one-off host work)")
+    ref = build_ref_roformer("bs", geom, seed=0)
+    ckpt = os.path.join(tmp, "bench_bs_roformer_flagship.ckpt")
+    torch.save({"state_dict": ref.state_dict()}, ckpt)
+    n_params = sum(p.numel() for p in ref.parameters())
+    del ref
+    model_entry = {k: (list(v) if k == "freqs_per_bands" else v)
+                   for k, v in geom.items()}
+    model_entry["sample_rate"] = SR
+    with open(os.path.join(tmp, "bench_bs_roformer_flagship.yaml"), "w") as f:
+        yaml_mod.safe_dump({
+            "audio": {"sample_rate": SR, "hop_length": 441,
+                      "chunk_size": 441 * 800},
+            "model": model_entry,
+            "training": {"instruments": ["vocals", "other"],
+                         "target_instrument": None},
+            "inference": {"dim_t": 801, "batch_size": 4},
+        }, f)
+
+    sep = Separator(
+        log_level=logging.WARNING, output_dir=tmp, model_file_dir=tmp,
+        output_format="WAV",
+        mdxc_params={"segment_size": 801, "override_model_segment_size": False,
+                     "batch_size": 4, "overlap": 8, "pitch_shift": 0})
+    sep.load_model(os.path.abspath(ckpt))
+    measure(sep, "bs_roformer_flagship")
+    out["bs_roformer_flagship"]["geometry"] = {
+        "dim": 512, "depth": 12, "bands": len(FLAGSHIP_FREQS_PER_BANDS),
+        "params_m": round(n_params / 1e6, 1)}
+
+    # ---- htdemucs through the facade (local yaml bag) ----
+    import hashlib
+
+    from ref_shims import load_ref_module
+
+    mod = load_ref_module("demucs.htdemucs")
+    sources = ["drums", "bass", "other", "vocals"]
+    ht_geom = dict(channels=48, nfft=4096, depth=4, t_layers=5, t_heads=8,
+                   segment=7.8)
+    torch.manual_seed(2)
+    ht = mod.HTDemucs(sources, **{**ht_geom, "t_dropout": 0.0})
+    with torch.no_grad():
+        for p in ht.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    package = {"klass": mod.HTDemucs, "args": (),
+               "kwargs": {"sources": sources, "audio_channels": 2, **ht_geom},
+               "state": ht.state_dict()}
+    ht_params_m = round(sum(p.numel() for p in ht.parameters()) / 1e6, 1)
+    del ht
+    tmp_th = os.path.join(tmp, "bench.tmp")
+    torch.save(package, tmp_th)
+    with open(tmp_th, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:8]
+    os.rename(tmp_th, os.path.join(tmp, f"beefbeef-{digest}.th"))
+    bag_yaml = os.path.join(tmp, "htdemucs_bench.yaml")
+    with open(bag_yaml, "w") as f:
+        yaml_mod.safe_dump({"models": ["beefbeef"],
+                            "weights": [[1.0, 1.0, 1.0, 1.0]],
+                            "segment": 7.8}, f)
+
+    sep2 = Separator(
+        log_level=logging.WARNING, output_dir=tmp, model_file_dir=tmp,
+        output_format="WAV",
+        demucs_params={"segment_size": "Default", "shifts": 2,
+                       "overlap": 0.25, "segments_enabled": True})
+    sep2.load_model(os.path.abspath(bag_yaml))
+    measure(sep2, "htdemucs")
+    out["htdemucs"]["geometry"] = {**ht_geom, "params_m": ht_params_m,
+                                   "shifts": 2}
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -466,6 +651,7 @@ def main():
         "htdemucs": bench_htdemucs,
         "mel_kim": bench_mel_kim,
         "ensemble_batch": bench_ensemble_batch,
+        "separate_e2e": bench_separate_e2e,
     }
     selected = ([c.strip() for c in args.configs.split(",") if c.strip()]
                 or list(benches))
