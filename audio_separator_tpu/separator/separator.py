@@ -323,6 +323,23 @@ class Separator:
     def load_model_data_using_hash(self, model_path: str) -> dict:
         return self.registry.load_model_data_using_hash(model_path)
 
+    def _resolve_model_data(self, model_path: str,
+                            yaml_config_filename: Optional[str]) -> dict:
+        """Model params by priority: companion/explicit YAML → local sidecar
+        ``<model>.json`` → UVR hash lookup. The sidecar is the offline
+        analogue of MDXC's companion YAML for local custom MDX/VR models
+        (dim_f/dim_t/n_fft/compensate, or vr_model_param/primary_stem) —
+        the reference has no local-params path at all (unknown hashes are
+        fatal, ref: separator.py:779-828)."""
+        if yaml_config_filename is not None:
+            return self.load_model_data_from_yaml(yaml_config_filename)
+        sidecar = os.path.splitext(model_path)[0] + ".json"
+        if os.path.exists(sidecar):
+            self.logger.debug(f"Loading model data from sidecar {sidecar}")
+            with open(sidecar, encoding="utf-8") as f:
+                return json.load(f)
+        return self.load_model_data_using_hash(model_path)
+
     # ------------------------------------------------------------------ model
 
     def load_model(self, model_filename: Union[str, List[str]] = DEFAULT_MODEL):
@@ -349,10 +366,7 @@ class Separator:
 
         if model_path.lower().endswith(".yaml"):
             yaml_config_filename = model_path
-        if yaml_config_filename is not None:
-            model_data = self.load_model_data_from_yaml(yaml_config_filename)
-        else:
-            model_data = self.load_model_data_using_hash(model_path)
+        model_data = self._resolve_model_data(model_path, yaml_config_filename)
 
         common_params = {
             "logger": self.logger,
@@ -402,10 +416,7 @@ class Separator:
             self.download_model_files(model_filename))
         if model_path.lower().endswith(".yaml"):
             yaml_config_filename = model_path
-        if yaml_config_filename is not None:
-            model_data = self.load_model_data_from_yaml(yaml_config_filename)
-        else:
-            model_data = self.load_model_data_using_hash(model_path)
+        model_data = self._resolve_model_data(model_path, yaml_config_filename)
         self.logger.info(
             f"Model downloaded, type: {model_type}, friendly name: {friendly_name}, "
             f"model_path: {model_path}, model_data: {len(model_data)} items")

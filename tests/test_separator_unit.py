@@ -291,3 +291,32 @@ def test_device_probe_propagates_errors(monkeypatch):
     monkeypatch.setattr(jax, "devices", boom)
     with pytest.raises(ValueError, match="no backend"):
         sep._probe_devices_with_watchdog()
+
+
+def test_sidecar_json_supplies_local_model_data(tmp_path):
+    """A local custom MDX/VR model with a `<model>.json` sidecar resolves its
+    params offline (the analogue of MDXC's companion YAML) instead of the
+    network-bound UVR hash lookup; priority: yaml > sidecar > hash."""
+    import json
+
+    sep = make_separator()
+    model = tmp_path / "custom_mdx.onnx"
+    model.write_bytes(b"\x00" * 64)
+    sidecar = tmp_path / "custom_mdx.json"
+    data = {"compensate": 1.01, "mdx_dim_f_set": 2048, "mdx_dim_t_set": 8,
+            "mdx_n_fft_scale_set": 4096, "primary_stem": "Instrumental"}
+    sidecar.write_text(json.dumps(data))
+
+    assert sep._resolve_model_data(str(model), None) == data
+
+    # explicit YAML wins over the sidecar
+    y = tmp_path / "cfg.yaml"
+    y.write_text("training: {instruments: [vocals, other]}\n")
+    got = sep._resolve_model_data(str(model), str(y))
+    assert got["training"]["instruments"] == ["vocals", "other"]
+
+    # no sidecar, no yaml → the hash flow (network-bound here, so it raises)
+    bare = tmp_path / "bare.onnx"
+    bare.write_bytes(b"\x00" * 64)
+    with pytest.raises(Exception):
+        sep._resolve_model_data(str(bare), None)

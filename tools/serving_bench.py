@@ -80,6 +80,37 @@ def _make_model(dirpath: str) -> str:
     return os.path.basename(ckpt)
 
 
+def _make_model_mdx(dirpath: str) -> str:
+    """Synthetic Conv-TDF ONNX at mid-production MDX geometry + sidecar
+    params json (the offline local-model path, Separator._resolve_model_data).
+    Exercises the round-5 MDX cross-job batching through the REAL serving
+    coalesce path (MDXSeparator.separate_batch → demix_jobs_layout)."""
+    import torch
+
+    from parity_cases import ScalableConvTDF
+
+    try:
+        from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+        onnx_proto_utils._add_onnxscript_fn = \
+            lambda model_bytes, custom_opsets: model_bytes
+    except ImportError:
+        pass
+    torch.manual_seed(0)
+    dim_f, segment = 2048, 256
+    model = ScalableConvTDF(dim_f, channels=12, scales=2).eval()
+    name = "serving_bench_mdx.onnx"
+    torch.onnx.export(model, torch.randn(1, 4, dim_f, segment),
+                      os.path.join(dirpath, name),
+                      input_names=["input"], output_names=["output"],
+                      dynamo=False)
+    with open(os.path.join(dirpath, "serving_bench_mdx.json"), "w") as f:
+        json.dump({"compensate": 1.022, "mdx_dim_f_set": dim_f,
+                   "mdx_dim_t_set": 8, "mdx_n_fft_scale_set": 4096,
+                   "primary_stem": "Instrumental"}, f)
+    return name
+
+
 def _drain(service, task_ids, poll=0.5):
     done = {}
     while len(done) < len(task_ids):
@@ -145,6 +176,10 @@ def main():
                         help="AUDSEP_SERVER_COALESCE values to sweep per "
                              "worker count (1 = off; >1 = cross-job window "
                              "batching via ops/demix.demix_jobs)")
+    parser.add_argument("--arch", type=str, default="mel_roformer",
+                        choices=("mel_roformer", "mdx"),
+                        help="model family for the sweep (mdx exercises the "
+                             "non-flagship coalescing path, VERDICT r4 item 4)")
     args = parser.parse_args()
 
     import numpy as np
@@ -156,7 +191,8 @@ def main():
     coalesce_counts = [int(c) for c in args.coalesce.split(",")]
 
     model_dir = tempfile.mkdtemp(prefix="serving-bench-models-")
-    model_name = _make_model(model_dir)
+    model_name = (_make_model_mdx(model_dir) if args.arch == "mdx"
+                  else _make_model(model_dir))
     print(f"[serving] model built ({time.time() - t_start:.0f}s)", flush=True)
 
     wav_dir = tempfile.mkdtemp(prefix="serving-bench-wavs-")
@@ -194,7 +230,8 @@ def main():
                   f"({results[key]['jobs_per_hour']} jobs/h)", flush=True)
 
     rec = {
-        "model": f"mel_roformer dim{DIM} depth{DEPTH} bands{NUM_BANDS}",
+        "model": (f"mdx conv-tdf dim_f2048 nfft4096" if args.arch == "mdx"
+                  else f"mel_roformer dim{DIM} depth{DEPTH} bands{NUM_BANDS}"),
         "results": results,
     }
     best_key = min(results, key=lambda k: results[k]["wall_s"])
@@ -202,8 +239,19 @@ def main():
     if "1" in results:
         rec["best"]["speedup_vs_1worker"] = round(
             results["1"]["wall_s"] / results[best_key]["wall_s"], 3)
+
+    # One file, one row per arch: the default (mel_roformer) keeps the
+    # legacy top-level shape; other arches land under their own key.
+    out = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            out = json.load(f)
+    if args.arch == "mel_roformer":
+        out.update(rec)
+    else:
+        out[args.arch] = rec
     with open(OUT_PATH, "w") as f:
-        json.dump(rec, f, indent=1, sort_keys=True)
+        json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"wrote {OUT_PATH}")
 
