@@ -166,6 +166,12 @@ class VRSeparator(BaseSeparator):
             y_spec = np.nan_to_num(y_spec, nan=0.0, posinf=0.0, neginf=0.0)
             v_spec = np.nan_to_num(v_spec, nan=0.0, posinf=0.0, neginf=0.0)
 
+        return self._write_stems(custom_output_names, y_spec, v_spec)
+
+    def _write_stems(self, custom_output_names: Optional[Dict],
+                     y_spec=None, v_spec=None) -> list:
+        """Write the (already computed) stems, honoring output_single_stem;
+        the spec args serve the lazy host-chain path only."""
         output_files = []
         if self.output_single_stem and self.output_single_stem.lower() not in (
                 self.primary_stem_name.lower(), self.secondary_stem_name.lower()):
@@ -193,6 +199,47 @@ class VRSeparator(BaseSeparator):
             output_files.append(path)
         return output_files
 
+    def separate_batch(self, audio_file_paths: list,
+                       custom_output_names_list: Optional[list] = None) -> list:
+        """Separate several files with the whole group's device work enqueued
+        BEFORE the first fetch: JAX dispatch is async, so job k+1's wave
+        upload and chain programs overlap job k's compute, and the blocking
+        stem fetches all land at the end — the VR analogue of the engine's
+        cross-job batching (the chain's bucketed shapes mean same-bucket
+        jobs share every compiled program). Outputs match per-file
+        separate() exactly (same programs, same order of math)."""
+        names = custom_output_names_list or [None] * len(audio_file_paths)
+        if len(audio_file_paths) <= 1 or not self._use_device_chain():
+            return [self.separate(p, n)
+                    for p, n in zip(audio_file_paths, names)]
+        self._load_network()
+
+        from ..ops.stft import fetch_real
+
+        pending = []
+        for path in audio_file_paths:
+            self.audio_file_path = path
+            self.audio_file_base = os.path.splitext(os.path.basename(path))[0]
+            waves, out_len, lq = self._inference_device_async()
+            pending.append((waves, out_len, lq, self.input_bit_depth))
+
+        outputs = []
+        for path, custom, (waves, out_len, lq, bit_depth) in zip(
+                audio_file_paths, names, pending):
+            self.primary_source = None
+            self.secondary_source = None
+            self.audio_file_path = path
+            self.audio_file_base = os.path.splitext(os.path.basename(path))[0]
+            self.input_bit_depth = bit_depth  # per-job write metadata
+            host = fetch_real(waves, quant=lq)
+            host = np.nan_to_num(host, nan=0.0, posinf=0.0, neginf=0.0)
+            self.primary_source = self._to_output_rate(
+                host[0][..., :out_len]).T
+            self.secondary_source = self._to_output_rate(
+                host[1][..., :out_len]).T
+            outputs.append(self._write_stems(custom))
+        return outputs
+
     def _to_output_rate(self, wave: np.ndarray) -> np.ndarray:
         """Resample ``(2, T)`` from the model rate to the *configured* output
         rate — write_audio stamps self.sample_rate in the header, so skipping
@@ -213,11 +260,23 @@ class VRSeparator(BaseSeparator):
 
     def _inference_device(self):
         """Full VR separation with ONE H2D (the wave) and ONE D2H (both
-        stems): per-band resample/STFT/combine, tiled mask inference, TTA,
+        stems). Blocking wrapper over :meth:`_inference_device_async`."""
+        from ..ops.stft import fetch_real
+
+        waves, out_len, lq = self._inference_device_async()
+        host = fetch_real(waves, quant=lq)
+        host = np.nan_to_num(host, nan=0.0, posinf=0.0, neginf=0.0)
+        return host[0][..., :out_len], host[1][..., :out_len]
+
+    def _inference_device_async(self):
+        """Enqueue the whole device chain for the current file WITHOUT
+        fetching: per-band resample/STFT/combine, tiled mask inference, TTA,
         aggression, optional post-process/high-end, and the istft/resample
         synthesis cascade all run as jitted device programs at bucketed
         static shapes (ops/vr_chain.py). Replaces the reference's host loop
-        (ref: vr_separator.py:255-375) rather than translating it."""
+        (ref: vr_separator.py:255-375) rather than translating it. Returns
+        ``(stems device array, true output length, link-quant mode)`` so
+        callers can overlap several files' device work before blocking."""
         from ..io import audio as audio_io
         from ..ops.fn_cache import memoized_model_fn
         from ..ops.stft import fetch_real, link_quant_mode, put_real
@@ -320,9 +379,7 @@ class VRSeparator(BaseSeparator):
             waves = synthesize(mask, spec_c, nf_dev)
 
         out_len = vr_chain.synth_out_len(geom, n_frame)
-        host = fetch_real(waves, quant=lq)
-        host = np.nan_to_num(host, nan=0.0, posinf=0.0, neginf=0.0)
-        return host[0][..., :out_len], host[1][..., :out_len]
+        return waves, out_len, lq
 
     # ------------------------------------------------------------ data prep
 

@@ -269,6 +269,65 @@ def test_reverse_config_runs_on_device():
     assert _snr_db(wv_ref, waves[1][..., :out_len]) > 75
 
 
+def test_vr_separate_batch_matches_solo(fixtures_dir, tmp_path, monkeypatch):
+    """VRSeparator.separate_batch enqueues every job's device chain before
+    the first fetch (cross-job dispatch overlap); outputs must equal the
+    per-file separate() exactly (same programs, same math order)."""
+    import logging
+
+    import jax
+
+    from audio_separator_tpu.architectures.vr import VRSeparator
+    from audio_separator_tpu.io import audio as audio_io
+    from audio_separator_tpu.models.vr_nets import state_dict_to_tree
+    from torch_oracles.vr_oracle import CascadedASPPNetOracle
+
+    from test_vr import SP_CAPS, _randomize
+
+    monkeypatch.setenv("AUDSEP_VR_CHAIN", "device")
+    oracle = _randomize(CascadedASPPNetOracle(2048, SP_CAPS, 31191), seed=21).eval()
+    params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}))
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i, secs in enumerate((1.2, 2.3)):
+        p = str(tmp_path / f"in{i}.wav")
+        audio_io.save_audio(p, (rng.standard_normal(
+            (2, int(44100 * secs))) * 0.2).astype(np.float32), 44100)
+        paths.append(p)
+
+    def make_sep(out_name):
+        common = {
+            "logger": logging.getLogger("test"),
+            "model_name": "batch-test", "model_path": str(tmp_path / "m.pth"),
+            "model_data": {"vr_model_param": "1band_sr44100_hl512",
+                           "primary_stem": "Instrumental"},
+            "output_dir": str(tmp_path / out_name), "output_format": "WAV",
+            "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+            "sample_rate": 44100,
+        }
+        arch = {"batch_size": 2, "window_size": 512, "aggression": 5,
+                "enable_tta": False, "enable_post_process": False,
+                "post_process_threshold": 0.2, "high_end_process": False}
+        sep = VRSeparator(common_config=common, arch_config=arch)
+        sep._params = params
+        sep._arch_size = 31191
+        sep._offset = 128
+        return sep
+
+    solo = [make_sep("solo").separate(p) for p in paths]
+    batch = make_sep("batch").separate_batch(paths)
+    assert [sorted(map(os.path.basename, o)) for o in batch] == \
+        [sorted(map(os.path.basename, o)) for o in solo]
+    for s_files, b_files in zip(solo, batch):
+        for s, b in zip(sorted(s_files), sorted(b_files)):
+            a, _ = audio_io.load_audio(os.path.join(str(tmp_path / "solo"), s))
+            c, _ = audio_io.load_audio(os.path.join(str(tmp_path / "batch"), b))
+            assert a.shape == c.shape
+            np.testing.assert_allclose(a, c, atol=1e-6, rtol=0)
+
+
 def test_separator_device_vs_host_end_to_end(fixtures_dir, tmp_path, monkeypatch):
     """Full separate() A/B: AUDSEP_VR_CHAIN=host vs the device default must
     produce near-identical stems (same net, same file, real 1-band params)."""

@@ -120,15 +120,23 @@ def main():
 
             key = f"len{int(secs)}s_b{batch}"
             _mark(f"{key}: warmups")
-            run_batched()
-            run_sequential()
-            best = {"batched": float("inf"), "sequential": float("inf")}
-            for _ in range(args.passes):
-                for name, fn in (("batched", run_batched),
-                                 ("sequential", run_sequential)):
-                    t0 = time.time()
-                    fn()
-                    best[name] = min(best[name], time.time() - t0)
+            try:
+                run_batched()
+                run_sequential()
+                best = {"batched": float("inf"), "sequential": float("inf")}
+                for _ in range(args.passes):
+                    for name, fn in (("batched", run_batched),
+                                     ("sequential", run_sequential)):
+                        t0 = time.time()
+                        fn()
+                        best[name] = min(best[name], time.time() - t0)
+            except Exception as exc:  # record boundaries (e.g. pallas vmem
+                # limits at large batch) instead of losing the sweep
+                msg = str(exc)
+                results["configs"][key] = {
+                    "error": f"{type(exc).__name__}: {msg[:300]}"}
+                _mark(f"{key}: FAILED ({type(exc).__name__})")
+                continue
             speedup = best["sequential"] / best["batched"]
             results["configs"][key] = {
                 "batched_s": round(best["batched"], 2),
@@ -140,12 +148,22 @@ def main():
             _mark(f"{key}: batched {best['batched']:.1f}s vs sequential "
                   f"{best['sequential']:.1f}s → {speedup:.2f}x")
 
-    speedups = [c["speedup"] for c in results["configs"].values()]
+    # merge over a previous sweep's rows (lengths are measured in separate
+    # runs: each new track shape costs a ~half-hour XLA compile)
+    out_path = os.path.join(REPO, "SHIFT_AB.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        merged = prior.get("configs", {})
+        merged.update(results["configs"])
+        results["configs"] = merged
+    speedups = [c["speedup"] for c in results["configs"].values()
+                if "speedup" in c]
     results["min_speedup"] = round(min(speedups), 3)
     results["max_speedup"] = round(max(speedups), 3)
     results["verdict"] = ("keep batched path"
                           if max(speedups) > 1.1 else "delete batched path")
-    with open(os.path.join(REPO, "SHIFT_AB.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
         f.write("\n")
 
