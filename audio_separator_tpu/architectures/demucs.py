@@ -260,8 +260,12 @@ class DemucsSeparator(BaseSeparator):
         # pads included — to (S, 2, length), ~2.4x fewer D2H bytes at
         # shifts=2. Profiled on chip: the htdemucs pass is link-bound (model
         # forward ~197x realtime vs ~7.5x e2e before this), so the fetch IS
-        # the pass. Offsets come from a per-call seeded rng, so they are
-        # stable across calls — the memo key (and the one compile) holds.
+        # the pass. With the explicit divider the engine runs this through
+        # the pipelined DEVICE drain (segment uploads overlap compute; the
+        # r5 probe measured the post fn's old unpipelined scan costing 1.36x
+        # at 240 s — SHIFT_PROBE.json). Offsets come from a per-call seeded
+        # rng, so they are stable across calls — the memo key (and the one
+        # compile) holds.
         # The key is per-track (exact lengths), so it lives in the dedicated
         # post-fn LRU: in the shared model_fn registry a varied-length batch
         # folder would evict hot model identities and force scan recompiles.

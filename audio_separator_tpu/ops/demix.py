@@ -151,13 +151,17 @@ def _demix_scan(
         # accumulator to one track's worth of samples, shrinking D2H by
         # ~2.4x for shifts=2 (the measured htdemucs bottleneck).
         acc = post_fn(acc)
+    return _quantize_fetch(acc, quantized_transfer)
+
+
+def _quantize_fetch(acc: jnp.ndarray, quantized_transfer: bool | str):
+    """Device-side quantisation shrinks the device→host transfer; the scale
+    restores amplitude on host. int16 (the `True` default) is ~90 dB SNR —
+    far below model noise. "int8" halves D2H again at ~48 dB SNR vs the
+    peak: still ≪ separation error (SDR impact < 1e-3 dB), opt-in for
+    bandwidth-starved tethered links. Returns ``(payload, scale)``."""
     if not quantized_transfer:
         return acc, jnp.float32(1.0)
-    # Device-side quantisation shrinks the device→host transfer; the scale
-    # restores amplitude on host. int16 (the `True` default) is ~90 dB SNR —
-    # far below model noise. "int8" halves D2H again at ~48 dB SNR vs the
-    # peak: still ≪ separation error (SDR impact < 1e-3 dB), opt-in for
-    # bandwidth-starved tethered links.
     from .stft import _QSCALE  # single source for the quantiser constants
 
     peak = jnp.maximum(jnp.max(jnp.abs(acc)), 1e-9)
@@ -264,8 +268,12 @@ def overlap_add_demix(
     before quantisation/transfer — for combines that shrink the D2H payload
     (e.g. the Demucs shift-trick alignment+average, which collapses an
     n_shifts-wide accumulator to one track). Pass a process-stable function
-    object (memoize it): the compiled scan keys on its identity. Forces the
-    single-scan path (its output shape is opaque to the segment pipeliner).
+    object (memoize it): the compiled scan keys on its identity. With an
+    explicit ``divider`` on a single device this composes with segment
+    pipelining via the device drain (per-segment accumulators stay in HBM,
+    combine + normalise + post + quantise run as one final device program);
+    the sharded / device-wsum variants fall back to the single whole-buffer
+    scan, whose shape the post fn owns.
 
     Always pass the weight pytree via ``model_params`` rather than closing
     over device arrays: closed-over arrays are baked into the jaxpr as
@@ -327,14 +335,18 @@ def overlap_add_demix(
         # Round the per-step batch up to the data-axis extent so every device
         # holds at least one window per step.
         batch_size = -(-batch_size // mesh.shape[data_axis]) * mesh.shape[data_axis]
-    if post_device_fn is not None:
-        pipeline_segments = 1  # post output shape is opaque to the pipeliner
+    if post_device_fn is not None and (mesh is not None or divider is None):
+        # The pipelined device-drain (below) covers the divider-normalised
+        # single-device case; the sharded / device-wsum variants still run
+        # the whole-buffer scan so the post fn sees one accumulator.
+        pipeline_segments = 1
     if pipeline_segments > 1 and n >= 2 * batch_size:
         return _pipelined_demix(
             model_fn, mix, chunk, window, shared_window, positions, divider,
             num_stems, batch_size, quantized_transfer, quantized_upload,
             model_params, pipeline_segments, bucket, mesh, data_axis,
-            fetch_stems=fetch_stems, mix_token=mix_token)
+            fetch_stems=fetch_stems, mix_token=mix_token,
+            post_device_fn=post_device_fn)
 
     # Device buffer must fit every gathered/accumulated window.
     t_buf = max(total, int(positions.max()) + chunk)
@@ -842,6 +854,58 @@ def _geom_key(positions: np.ndarray, window: np.ndarray, chunk: int,
     return (h.hexdigest(), chunk, window.shape) + extra
 
 
+# Device-resident geometry cache: the dense window rows and the overlap
+# divider are geometry-static but LARGE at track scale (a 240 s htdemucs
+# shift layout ships ~115 MB of f32 rows + ~93 MB of divider per call), and
+# on a tethered link those uploads are seconds. Entries are jnp arrays keyed
+# by the same content hashes as the host geom cache; a small LRU bounds the
+# HBM held (single-device only — sharded calls place arrays via their jitted
+# consumers). Sized for whole GEOMETRIES, not entries: one 240 s htdemucs
+# shift layout is up to 8 per-segment row entries + 1 divider, so a bound
+# below ~9 would evict its own geometry mid-call and thrash; 24 holds ~2-3
+# track-length geometries (~0.5 GB HBM worst case on a 16 GB part).
+_DEV_GEOM_MAX_ENTRIES = 24
+_dev_geom_cache: dict = {}
+
+
+def _dev_geom_memo(key, builder):
+    with _cache_lock:
+        hit = _dev_geom_cache.get(key)
+    if hit is not None:
+        return hit
+    built = builder()  # upload outside the lock (seconds on slow links)
+    with _cache_lock:
+        hit = _dev_geom_cache.get(key)
+        if hit is None:
+            hit = _dev_geom_cache[key] = built
+            while len(_dev_geom_cache) > _DEV_GEOM_MAX_ENTRIES:
+                _dev_geom_cache.pop(next(iter(_dev_geom_cache)))
+    return hit
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _drain_combine(full: jnp.ndarray, seg: jnp.ndarray, lo: jnp.ndarray):
+    """Add one segment's raw accumulator into the full device buffer at
+    ``lo`` (overlap-add across segment boundaries happens here, in HBM,
+    instead of on host). Donation lets XLA update in place."""
+    cur = jax.lax.dynamic_slice(full, (0, 0, lo), seg.shape)
+    return jax.lax.dynamic_update_slice(full, cur + seg, (0, 0, lo))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("post_fn", "quantized_transfer"),
+    donate_argnums=(0,),
+)
+def _drain_finalize(full: jnp.ndarray, inv_div: jnp.ndarray,
+                    post_fn: Callable, quantized_transfer: bool | str):
+    """Final device program of the pipelined post drain: divider-normalise
+    the combined accumulator, apply the caller's post fn, quantise for the
+    single D2H fetch."""
+    acc = post_fn(full * inv_div)
+    return _quantize_fetch(acc, quantized_transfer)
+
+
 def _geom_memo(key, builder):
     # Build OUTSIDE the lock: the builder does an O(track-length) pass, and
     # this lock is shared with the mix cache — holding it during a cold build
@@ -904,6 +968,7 @@ def _pipelined_demix(
     data_axis: str = "data",
     fetch_stems: tuple | None = None,
     mix_token=None,
+    post_device_fn=None,
 ) -> np.ndarray:
     """Segment-pipelined demix: K contiguous window groups, each run as an
     *unnormalised* device scan over its own mix slice, dispatched back to back
@@ -912,6 +977,15 @@ def _pipelined_demix(
     bucketed buffer length), so XLA compiles exactly once. The overlap-add
     across segment boundaries and the window-weight normalisation happen on
     host, where the divider is a cheap numpy overlap-add of the window rows.
+
+    ``post_device_fn`` (requires an explicit ``divider``; single device)
+    switches the drain to DEVICE side: per-segment raw accumulators never
+    cross the link — they combine into one HBM buffer, and a final program
+    divider-normalises, applies the post fn, and quantises for a single
+    fetch of the post fn's (usually much smaller) output. Uploads still
+    pipeline exactly as in the host drain; measured on the htdemucs
+    shift-trick layout the post fn previously forced the unpipelined
+    whole-buffer scan, which cost 1.56x at 240 s (SHIFT_PROBE.json).
 
     Pipeline-end engineering (the measured gap between the ~71x model-only
     RTF and the e2e number is almost entirely the non-overlapped ends):
@@ -950,7 +1024,8 @@ def _pipelined_demix(
     # regions) amplify the quantisation step by >10x; normalising first keeps
     # the error uniformly at the quantiser's SNR because the host re-scale
     # weight w_seg never exceeds the global divider it is later divided by.
-    device_norm = bool(quantized_transfer)
+    device_drain = post_device_fn is not None  # caller guarantees divider
+    device_norm = bool(quantized_transfer) and not device_drain
     # Disjoint fast path: segments that don't overlap (step >= chunk) make
     # wseg identical to the global divider on the segment's span, so the
     # host-side "* wseg / div" is the identity — the drain writes each
@@ -989,11 +1064,10 @@ def _pipelined_demix(
     # [12,12,6] — same len(groups)/seg_n/pad_to, different per-segment
     # window sums. Sizes + sorted positions fully determine membership
     # (groups are contiguous in sorted order).
-    inv_div, wsegs = _geom_memo(
-        _geom_key(positions, window, chunk,
-                  (tuple(len(g) for g in groups), seg_n, pad_to,
-                   device_norm, disjoint, div_key)),
-        _build_geom)
+    gk = _geom_key(positions, window, chunk,
+                   (tuple(len(g) for g in groups), seg_n, pad_to,
+                    device_norm, disjoint, div_key))
+    inv_div, wsegs = _geom_memo(gk, _build_geom)
 
     mix_seg_cache = _mix_segments_for_token(mix_token)
     up_mode = ("int8" if quantized_upload == "int8"
@@ -1021,8 +1095,11 @@ def _pipelined_demix(
                 full_entry = (jnp.asarray(q), jnp.asarray(inv), pad_to)
                 mix_seg_cache[fk] = full_entry
     dummy_div = jnp.ones((1,), jnp.float32)
+    n_out = len(fetch_stems) if fetch_stems is not None else num_stems
+    full_dev = (jnp.zeros((n_out, c, pad_to), jnp.float32)
+                if device_drain else None)
     handles = []
-    for g, lo, span in zip(groups, seg_lo, spans):
+    for k_seg, (g, lo, span) in enumerate(zip(groups, seg_lo, spans)):
         # Host-side segment prep (slice/pad/quantise/upload) sits INSIDE the
         # dispatch loop: segment k's device program is already running while
         # this prepares k+1 — the host work and H2D bytes hide behind compute
@@ -1056,28 +1133,44 @@ def _pipelined_demix(
         if shared_window:
             win_dev = window
         else:
-            win_dev = np.zeros((seg_n, chunk), dtype=np.float32)
-            win_dev[: len(g)] = window[order[g]]
+            # Dense rows are geometry-static and LARGE (~115 MB f32 for a
+            # 240 s htdemucs shift layout): keep each segment's rows device
+            # resident across calls so repeat separations at the same
+            # bucketed geometry skip the upload entirely.
+            def _build_win(g=g):
+                rows_h = np.zeros((seg_n, chunk), dtype=np.float32)
+                rows_h[: len(g)] = window[order[g]]
+                return jnp.asarray(rows_h)
+
+            win_dev = (_dev_geom_memo((gk, "win", k_seg), _build_win)
+                       if mesh is None else _build_win())
         acc, scale = _demix_scan(
             model_fn,
             model_params,
             mix_dev,
             inv_scale,
             jnp.asarray(seg_pos),
-            jnp.asarray(win_dev),
+            win_dev if not shared_window else jnp.asarray(win_dev),
             jnp.asarray(row_scale),
             dummy_div,
             chunk,
             batch_size,
             num_stems,
             c,
-            quantized_transfer,
+            False if device_drain else quantized_transfer,
             not device_norm,  # has_divider=True skips device wsum (host norm)
             normalize=device_norm,
             mesh=mesh,
             data_axis=data_axis,
             fetch_stems=fetch_stems,
         )
+        if device_drain:
+            # Raw accumulator stays in HBM: overlap-add it into the full
+            # buffer (bucket padding past the span is zeros — adding it is
+            # free and keeps ONE combine program shape for all segments).
+            full_dev = _drain_combine(full_dev, acc,
+                                      jnp.asarray(lo, dtype=jnp.int32))
+            continue
         # Crop the bucket padding on device (one cheap async op) so only the
         # segment's true span crosses D2H — the padded tail is zeros. Start
         # the host copy NOW: the drain loop then only blocks on in-flight
@@ -1090,7 +1183,19 @@ def _pipelined_demix(
                 pass  # backend without async host copies: fetches stay lazy
         handles.append((lo, span, acc, scale))
 
-    n_out = len(fetch_stems) if fetch_stems is not None else num_stems
+    if device_drain:
+        def _build_inv_div():
+            return jnp.asarray(inv_div)
+
+        inv_div_dev = (_dev_geom_memo((gk, "invdiv"), _build_inv_div)
+                       if mesh is None else _build_inv_div())
+        payload, scale = _drain_finalize(
+            full_dev, inv_div_dev, post_fn=post_device_fn,
+            quantized_transfer=quantized_transfer)
+        if quantized_transfer:
+            return np.asarray(payload).astype(np.float32) / float(scale)
+        return np.array(np.asarray(payload))
+
     if disjoint:
         # Spans may leave gaps only where no window lands (impossible for
         # reference position lists, which tile from 0) — zero-fill is still

@@ -553,3 +553,92 @@ def test_demix_geom_cache_keys_on_group_layout():
     layouts = {key[3] for key in demix_mod._geom_cache}
     assert (10, 10, 10) in layouts, sorted(layouts)
     assert (12, 12, 6) in layouts, sorted(layouts)
+
+
+def test_demix_pipelined_post_device_drain_matches_unpipelined():
+    """post_device_fn with an explicit divider now rides the pipelined
+    DEVICE drain (per-segment accumulators combine in HBM; one final
+    normalise→post→quantise program, one fetch). Must equal the whole-buffer
+    scan (pipeline_segments=1) exactly in f32 and within link tolerance in
+    the quantised modes — this is the htdemucs shift-trick layout."""
+    import jax
+    import jax.numpy as jnp_
+
+    rng = np.random.default_rng(23)
+    span, n_shifts = 16000, 2
+    offsets = [120, 900]
+    length, pad_lead = 12000, 1500
+    chunk, step = 2048, 1500
+    mix = np.zeros((2, span * n_shifts), np.float32)
+    track = rng.standard_normal((2, length + 1000)).astype(np.float32)
+    for s, off in enumerate(offsets):
+        mix[:, s * span + pad_lead: s * span + pad_lead + length + 1000] = \
+            track
+    pos_one = window_positions(span - chunk, chunk, step)
+    positions = np.concatenate([pos_one + s * span for s in range(n_shifts)])
+    n = len(positions)
+    windows = np.tile(np.asarray(hamming_window(chunk))[None], (n, 1))
+    divider = np.ones(span * n_shifts, np.float32)
+    for r, p in enumerate(positions):
+        divider[p:p + chunk] += windows[r]
+
+    def post(acc):  # align + average the two shift regions (demucs trick)
+        parts = []
+        for s, off in enumerate(offsets):
+            start = s * span + pad_lead + (900 - off)
+            parts.append(jax.lax.dynamic_slice_in_dim(
+                acc, start, length, axis=-1))
+        return sum(parts) / n_shifts
+
+    common = dict(num_stems=2, batch_size=2, positions=positions,
+                  divider=divider, post_device_fn=post)
+    base = overlap_add_demix(_model, mix, chunk, step, windows,
+                             pipeline_segments=1, **common)
+    piped = overlap_add_demix(_model, mix, chunk, step, windows,
+                              pipeline_segments=4, **common)
+    assert piped.shape == (2, 2, length)
+    np.testing.assert_allclose(piped, base, atol=1e-5)
+
+    # quantised modes keep the string/bool distinction through the drain
+    for mode, tol in ((True, 5e-3), ("int8", 5e-2)):
+        q = overlap_add_demix(_model, mix, chunk, step, windows,
+                              pipeline_segments=4, quantized_transfer=mode,
+                              quantized_upload=False, **common)
+        np.testing.assert_allclose(q, base, atol=tol)
+
+    # fetch_stems composes: selection happens before the post fn
+    one = overlap_add_demix(_model, mix, chunk, step, windows,
+                            pipeline_segments=4, fetch_stems=(1,), **common)
+    np.testing.assert_allclose(one[0], base[1], atol=1e-5)
+
+
+def test_demix_dev_geom_cache_reuses_uploads():
+    """Dense window rows and the drain's inverse divider are device-cached
+    across calls at the same geometry (they are ~100 MB-scale uploads at
+    track lengths); a second call must hit the cache, and different
+    geometry must miss."""
+    from audio_separator_tpu.ops import demix as demix_mod
+
+    rng = np.random.default_rng(29)
+    mix = rng.standard_normal((2, 30000)).astype(np.float32)
+    chunk, step = 2048, 1500
+    positions = window_positions(30000, chunk, step)
+    n = len(positions)
+    windows = np.tile(np.asarray(hamming_window(chunk))[None], (n, 1))
+    divider = np.ones(30000 + chunk, np.float32)
+    for r, p in enumerate(positions):
+        divider[p:p + chunk] += windows[r]
+
+    def post(acc):
+        return acc[..., :30000]
+
+    demix_mod._dev_geom_cache.clear()
+    kw = dict(num_stems=2, batch_size=2, positions=positions,
+              divider=divider, post_device_fn=post, pipeline_segments=3)
+    a = overlap_add_demix(_model, mix, chunk, step, windows, **kw)
+    keys_after_first = set(demix_mod._dev_geom_cache)
+    assert any(k[-1] == "invdiv" for k in keys_after_first)
+    assert any(k[-2] == "win" for k in keys_after_first if len(k) > 2)
+    b = overlap_add_demix(_model, mix, chunk, step, windows, **kw)
+    assert set(demix_mod._dev_geom_cache) == keys_after_first  # pure hits
+    np.testing.assert_allclose(a, b, atol=0)

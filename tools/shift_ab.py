@@ -173,7 +173,8 @@ def main():
         with open(ba_path) as f:
             ba = json.load(f)
         ba.setdefault("configs", {}).setdefault("htdemucs", {})["shift_ab"] = {
-            "sweep": {k: v["speedup"] for k, v in results["configs"].items()},
+            "sweep": {k: v.get("speedup", v.get("error", "?")[:80])
+                      for k, v in results["configs"].items()},
             "min_speedup": results["min_speedup"],
             "max_speedup": results["max_speedup"],
             "verdict": results["verdict"],
