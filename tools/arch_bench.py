@@ -121,7 +121,10 @@ def bench_mdx(tmp, mix, passes):
 
     best, warm = _measure(run, True, passes)
     n_params = sum(p.numel() for p in model.parameters())
+    from audio_separator_tpu.ops.stft import link_quant_mode
+
     return {"rtf": round(mix.shape[-1] / SR / best, 2),
+            "rtf_link_mode": link_quant_mode() or "off",
             "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
             "geometry": {"n_fft": 6144, "dim_f": dim_f, "segment": segment,
                          "hop": 1024, "params_m": round(n_params / 1e6, 1)},
@@ -173,6 +176,7 @@ def bench_vr(tmp, mix, passes):
 
     best, warm = _measure(run, True, passes)
     rec = {"rtf": round(mix.shape[-1] / SR / best, 2),
+           "rtf_link_mode": "shipped default (int16 on TPU)",
            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
            "geometry": {"param": "4band_v2", "bins": n_bins,
                         "arch_size": arch_size, "window": 512},
@@ -180,15 +184,18 @@ def bench_vr(tmp, mix, passes):
                    "(ops/vr_chain.py: one wave H2D, one stems D2H) + writes "
                    "(5_HP-Karaoke-class capacity)"}
 
-    # Link-quant A/B under the SHIPPED policy (AUDSEP_LINK_QUANT read per
-    # separation; int8 keeps the wave upload at int16 by design). Interleaved
-    # in ONE process so all modes see the same link regime. The device chain
-    # moves only the wave/stems across the link, so the deltas are small by
-    # construction — recorded to supersede the round-3 rows that measured a
-    # non-shipped upload policy over the old host chain's wire traffic.
+    # Link-quant A/B with every mode pinned EXPLICITLY, "off" included (the
+    # round-5 int16-on-TPU default means an unset env is NOT float mode).
+    # Interleaved in ONE process so all modes see the same link regime. The
+    # device chain moves only the wave/stems across the link, so the deltas
+    # are small by construction.
     lq = {}
-    base_out, _ = audio_io_load_stems(tmp, sep, wav_path)
-    for mode in ("int16", "int8"):
+    os.environ["AUDSEP_LINK_QUANT"] = "off"
+    try:
+        base_out, _ = audio_io_load_stems(tmp, sep, wav_path)
+    finally:
+        os.environ.pop("AUDSEP_LINK_QUANT", None)
+    for mode in ("off", "int16", "int8"):
         os.environ["AUDSEP_LINK_QUANT"] = mode
         try:
             b, w = _measure(run, True, max(1, passes - 1))
@@ -203,7 +210,6 @@ def bench_vr(tmp, mix, passes):
                         "stem_snr_vs_off_db": round(snr, 1)}
         finally:
             os.environ.pop("AUDSEP_LINK_QUANT", None)
-    lq["off"] = {"rtf": rec["rtf"], "best_pass_s": rec["best_pass_s"]}
     rec["link_quant"] = lq
     return rec
 
@@ -291,6 +297,7 @@ def bench_htdemucs(tmp, mix, passes):
 
     track_s = mix.shape[-1] / SR
     rec = {"rtf": round(track_s / best, 2),
+           "rtf_link_mode": "shipped default (int16 on TPU)",
            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
            "rtf_sequential_shifts": round(track_s / seq_best, 2),
            "shift_batch_speedup": round(seq_best / best, 3),
@@ -309,8 +316,16 @@ def bench_htdemucs(tmp, mix, passes):
     # mode (observed live: an off-block at 24.9 s/pass where a healthy
     # regime gives 13 s). Best-of per mode across cycles lets every mode
     # catch the healthiest window that occurs during the run.
-    base_out = run_our_demucs(cfg, params, mix, shifts=2, batch_size=4)
-    lq_best = {"off": best}
+    # Every mode is pinned EXPLICITLY ("off" included): with the round-5
+    # int16-on-TPU default, an unset env no longer means float transfers,
+    # so the un-pinned warmup/headline passes above measure the SHIPPED
+    # default and the rows below isolate each mode.
+    os.environ["AUDSEP_LINK_QUANT"] = "off"
+    try:
+        base_out = run_our_demucs(cfg, params, mix, shifts=2, batch_size=4)
+    finally:
+        os.environ.pop("AUDSEP_LINK_QUANT", None)
+    lq_best = {}
     snr = {}
     for mode in ("int16", "int8"):  # one-off quantise-kernel warmups
         os.environ["AUDSEP_LINK_QUANT"] = mode
@@ -323,8 +338,7 @@ def bench_htdemucs(tmp, mix, passes):
             os.environ.pop("AUDSEP_LINK_QUANT", None)
     for _ in range(max(2, passes)):
         for mode in ("off", "int16", "int8"):
-            if mode != "off":
-                os.environ["AUDSEP_LINK_QUANT"] = mode
+            os.environ["AUDSEP_LINK_QUANT"] = mode
             try:
                 t0 = time.time()
                 run_batched()
@@ -337,9 +351,13 @@ def bench_htdemucs(tmp, mix, passes):
                **({"stem_snr_vs_off_db": round(snr[mode], 1)}
                   if mode in snr else {})}
         for mode, b in lq_best.items()}
-    # the headline rtf is the best OFF pass seen anywhere in the run
-    rec["rtf"] = round(track_s / lq_best["off"], 2)
-    rec["best_pass_s"] = round(lq_best["off"], 2)
+    # Headline rtf = the SHIPPED default (int16 on TPU): best of the main
+    # measured passes and the explicit-int16 rows (same mode, different
+    # moments of the link regime). The pinned-off number lives in
+    # link_quant["off"].
+    b_def = min(best, lq_best["int16"])
+    rec["rtf"] = round(track_s / b_def, 2)
+    rec["best_pass_s"] = round(b_def, 2)
     return rec
 
 
@@ -376,13 +394,15 @@ def bench_mel_kim(tmp, mix, passes):
 
     best, warm = _measure(run, True, passes)
     track_s = mix.shape[-1] / SR
+    from audio_separator_tpu.ops.stft import link_quant_mode
+
     return {"rtf": round(track_s / best, 2),
             "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
             "geometry": {"dim": 384, "depth": 6, "num_bands": 60,
                          "n_fft": 2048, "hop": 441,
                          "params_m": round(n_params / 1e6, 1)},
             "note": "full e2e demix (upload + scan + fetch), link_quant="
-                    + (os.environ.get("AUDSEP_LINK_QUANT") or "off")}
+                    + (link_quant_mode() or "off")}
 
 
 def bench_ensemble_batch(tmp, mix, passes):
@@ -433,7 +453,10 @@ def bench_ensemble_batch(tmp, mix, passes):
 
     folder_best, _ = _measure(run_folder, False, max(1, passes - 1))
     track_s = mix.shape[-1] / SR
+    from audio_separator_tpu.ops.stft import link_quant_mode
+
     return {"rtf": round(2 * track_s / best, 2),  # 2 models' audio-seconds
+            "rtf_link_mode": link_quant_mode() or "off",
             "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
             "rtf_per_model": round(track_s / (best / 2), 2),
             "batch_folder_rtf_per_track": round(3 * track_s / folder_best, 2),

@@ -111,6 +111,32 @@ def _make_model_mdx(dirpath: str) -> str:
     return name
 
 
+def _make_model_vr(dirpath: str) -> str:
+    """Synthetic VR CascadedASPPNet (sp-class caps, arch 31191) + sidecar
+    params json. Exercises the round-5 VR cross-job dispatch overlap through
+    the REAL serving coalesce path (VRSeparator.separate_batch: every job's
+    device chain enqueued before the first stem fetch)."""
+    import torch
+
+    from torch_oracles.vr_oracle import CascadedASPPNetOracle
+
+    # sp-class capacity row (matches tests/test_vr.py SP_CAPS); the saved
+    # file is small, so the file-size arch sniff resolves to 31191.
+    caps = [(2, 16), (2, 16), (18, 8, 1, 1, 0), (8, 16), (34, 16, 1, 1, 0),
+            (16, 32), (32, 2, 1), (16, 2, 1), (16, 2, 1)]
+    torch.manual_seed(0)
+    oracle = CascadedASPPNetOracle(2048, caps, 31191).eval()
+    with torch.no_grad():
+        for p in oracle.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    name = "serving_bench_vr.pth"
+    torch.save(oracle.state_dict(), os.path.join(dirpath, name))
+    with open(os.path.join(dirpath, "serving_bench_vr.json"), "w") as f:
+        json.dump({"vr_model_param": "1band_sr44100_hl512",
+                   "primary_stem": "Instrumental"}, f)
+    return name
+
+
 def _drain(service, task_ids, poll=0.5):
     done = {}
     while len(done) < len(task_ids):
@@ -177,9 +203,11 @@ def main():
                              "worker count (1 = off; >1 = cross-job window "
                              "batching via ops/demix.demix_jobs)")
     parser.add_argument("--arch", type=str, default="mel_roformer",
-                        choices=("mel_roformer", "mdx"),
+                        choices=("mel_roformer", "mdx", "vr"),
                         help="model family for the sweep (mdx exercises the "
-                             "non-flagship coalescing path, VERDICT r4 item 4)")
+                             "non-flagship coalescing path, VERDICT r4 item "
+                             "4; vr exercises VRSeparator.separate_batch "
+                             "dispatch overlap)")
     args = parser.parse_args()
 
     import numpy as np
@@ -191,8 +219,8 @@ def main():
     coalesce_counts = [int(c) for c in args.coalesce.split(",")]
 
     model_dir = tempfile.mkdtemp(prefix="serving-bench-models-")
-    model_name = (_make_model_mdx(model_dir) if args.arch == "mdx"
-                  else _make_model(model_dir))
+    model_name = {"mdx": _make_model_mdx, "vr": _make_model_vr,
+                  "mel_roformer": _make_model}[args.arch](model_dir)
     print(f"[serving] model built ({time.time() - t_start:.0f}s)", flush=True)
 
     wav_dir = tempfile.mkdtemp(prefix="serving-bench-wavs-")
@@ -230,8 +258,11 @@ def main():
                   f"({results[key]['jobs_per_hour']} jobs/h)", flush=True)
 
     rec = {
-        "model": (f"mdx conv-tdf dim_f2048 nfft4096" if args.arch == "mdx"
-                  else f"mel_roformer dim{DIM} depth{DEPTH} bands{NUM_BANDS}"),
+        "model": {"mdx": "mdx conv-tdf dim_f2048 nfft4096",
+                  "vr": "vr cascaded-aspp sp-caps arch31191 1band_sr44100",
+                  "mel_roformer":
+                      f"mel_roformer dim{DIM} depth{DEPTH} bands{NUM_BANDS}",
+                  }[args.arch],
         "results": results,
     }
     best_key = min(results, key=lambda k: results[k]["wall_s"])
