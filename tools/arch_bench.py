@@ -683,7 +683,10 @@ def main():
     if os.path.exists(OUT_PATH):
         with open(OUT_PATH) as f:
             records = json.load(f)
-    records.setdefault("track_seconds", args.seconds)
+    # track length is PER CONFIG (different configs get re-run at different
+    # lengths across rounds); the legacy top-level field would otherwise
+    # mislabel every row measured after the first run.
+    records.pop("track_seconds", None)
     records.setdefault("device", str(jax.devices()[0]))
     records.setdefault("configs", {})
 
@@ -699,6 +702,7 @@ def main():
         except Exception as exc:  # record the failure, keep going
             rec = {"error": f"{type(exc).__name__}: {exc}"}
         rec["wall_s"] = round(time.time() - t0, 1)
+        rec.setdefault("track_seconds", args.seconds)
         records["configs"][name] = rec
         _write(records)
         _mark(f"config {name} done: {rec}")
