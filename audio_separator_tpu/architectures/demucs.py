@@ -126,7 +126,6 @@ class DemucsSeparator(BaseSeparator):
             path = self.get_stem_output_path(stem_name, custom_output_names)
             self.final_process(path, row.T, stem_name)
             output_files.append(path)
-        self.drain_writes()
         return output_files
 
     # ------------------------------------------------------------------ demix

@@ -269,7 +269,6 @@ class MDXSeparator(BaseSeparator):
             path = self.get_stem_output_path(self.primary_stem_name, custom_output_names)
             self.final_process(path, self.primary_source, self.primary_stem_name)
             output_files.append(path)
-        self.drain_writes()
         return output_files
 
     def separate_batch(self, audio_file_paths: list,

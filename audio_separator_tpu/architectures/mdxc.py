@@ -181,7 +181,6 @@ class MDXCSeparator(BaseSeparator):
                                               self.amplification_threshold).T
                     self.final_process(path, stem, stem_name)
                     output_files.append(path)
-                self.drain_writes()
                 return output_files
 
             # With output_single_stem, demix fetched only the requested stem
@@ -216,7 +215,6 @@ class MDXCSeparator(BaseSeparator):
                     self.primary_source = source.T
                 self.final_process(path, self.primary_source, self.primary_stem_name)
                 output_files.append(path)
-        self.drain_writes()
         return output_files
 
     def _segment_size(self) -> int:

@@ -197,7 +197,6 @@ class VRSeparator(BaseSeparator):
             path = self.get_stem_output_path(self.secondary_stem_name, custom_output_names)
             self.final_process(path, self.secondary_source, self.secondary_stem_name)
             output_files.append(path)
-        self.drain_writes()
         return output_files
 
     def separate_batch(self, audio_file_paths: list,

@@ -20,26 +20,6 @@ import numpy as np
 from ..io import audio as audio_io
 from ..ops import spec as spec_ops
 
-# Shared stem-write pool: a multi-stem separation writes each output file
-# sequentially on the reference (common_separator.py:284-451), but the
-# writes are independent (normalize + encode + disk) and measured at
-# seconds per pass on long tracks (BENCH_ARCHES separate_e2e: 3.37 s of a
-# 10.5 s flagship pass). final_process submits here and every architecture
-# drains before its separate() returns, so callers still observe files on
-# disk exactly as before. Process-wide: serving workers share it, and four
-# threads bound the concurrent encode buffers.
-_WRITE_POOL = None
-
-
-def _write_pool():
-    global _WRITE_POOL
-    if _WRITE_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _WRITE_POOL = ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="audsep-write")
-    return _WRITE_POOL
-
 
 class BaseSeparator:
     """Base class for the four architecture separators."""
@@ -97,8 +77,6 @@ class BaseSeparator:
         # Optional jax.sharding.Mesh for multi-chip chunk-batch DP (demix
         # engine shards each window batch over the mesh "data" axis).
         self.mesh = config.get("mesh")
-
-        self._write_futures: list = []
 
         # Stem resolution (ref: common_separator.py:103-125).
         self.primary_stem_name: Optional[str] = None
@@ -216,29 +194,9 @@ class BaseSeparator:
         )
 
     def final_process(self, stem_path: str, source: np.ndarray, stem_name: str):
-        """Queue the stem write on the shared pool (overlapping independent
-        normalize/encode/disk work across stems); ``drain_writes`` — called
-        by every architecture before its ``separate()`` returns — joins and
-        re-raises, so the on-disk contract is unchanged."""
         self.logger.debug(f"Finalizing {stem_name} stem processing and writing audio...")
-        self._write_futures.append(
-            _write_pool().submit(self.write_audio, stem_path, source))
+        self.write_audio(stem_path, source)
         return {stem_name: source}
-
-    def drain_writes(self) -> None:
-        """Block until every queued stem write has hit disk; first failure
-        propagates (after letting the rest finish, so no half-started write
-        is abandoned mid-file)."""
-        futures, self._write_futures = self._write_futures, []
-        first_exc = None
-        for f in futures:
-            try:
-                f.result()
-            except Exception as exc:  # noqa: BLE001 — re-raised below
-                if first_exc is None:
-                    first_exc = exc
-        if first_exc is not None:
-            raise first_exc
 
     # ---------------------------------------------------------------- naming
 
