@@ -474,7 +474,12 @@ def _timed_audio_io():
 
     from audio_separator_tpu.io import audio as audio_io
 
-    times = {"decode_s": 0.0, "write_s": 0.0}
+    # write_s is the WALL-CLOCK UNION of all stem writes (they overlap on
+    # the shared write pool since r5 — summing per-call durations would
+    # double-count and push demix_and_glue negative); write_cpu_s keeps the
+    # summed per-call time for contention diagnostics.
+    times = {"decode_s": 0.0, "write_s": 0.0, "write_cpu_s": 0.0,
+             "_w_start": None, "_w_end": 0.0}
 
     @contextlib.contextmanager
     def ctx():
@@ -489,10 +494,15 @@ def _timed_audio_io():
 
         def timed_save(*a, **k):
             t0 = time.time()
+            if times["_w_start"] is None or t0 < times["_w_start"]:
+                times["_w_start"] = t0
             try:
                 return orig_save(*a, **k)
             finally:
-                times["write_s"] += time.time() - t0
+                t1 = time.time()
+                times["write_cpu_s"] += t1 - t0
+                times["_w_end"] = max(times["_w_end"], t1)
+                times["write_s"] = times["_w_end"] - times["_w_start"]
 
         audio_io.load_audio, audio_io.save_audio = timed_load, timed_save
         try:
