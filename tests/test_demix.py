@@ -642,3 +642,42 @@ def test_demix_dev_geom_cache_reuses_uploads():
     b = overlap_add_demix(_model, mix, chunk, step, windows, **kw)
     assert set(demix_mod._dev_geom_cache) == keys_after_first  # pure hits
     np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_demix_post_fn_mesh_and_no_divider_fall_back():
+    """The pipelined device drain requires an explicit divider on a single
+    device; with a mesh, or without a divider, a post_device_fn must still
+    run (whole-buffer scan) and match the drained result."""
+    import jax
+    from audio_separator_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(31)
+    mix = rng.standard_normal((2, 30000)).astype(np.float32)
+    chunk, step = 2048, 1500
+    positions = window_positions(30000, chunk, step)
+    n = len(positions)
+    windows = np.tile(np.asarray(hamming_window(chunk))[None], (n, 1))
+    divider = np.ones(30000 + chunk, np.float32)
+    for r, p in enumerate(positions):
+        divider[p:p + chunk] += windows[r]
+
+    def post(acc):
+        return acc[..., :30000]
+
+    kw = dict(num_stems=2, batch_size=2, positions=positions,
+              post_device_fn=post, pipeline_segments=4)
+    drained = overlap_add_demix(_model, mix, chunk, step, windows,
+                                divider=divider, **kw)
+    mesh = make_mesh(n_devices=4, dp=4, tp=1)
+    meshed = overlap_add_demix(_model, mix, chunk, step, windows,
+                               divider=divider, mesh=mesh, **kw)
+    np.testing.assert_allclose(meshed, drained, atol=1e-5)
+
+    # no divider: post fn runs after the device-wsum normalisation
+    shared = np.asarray(hamming_window(chunk))
+    no_div = overlap_add_demix(_model, mix, chunk, step, shared,
+                               num_stems=2, batch_size=2,
+                               post_device_fn=post, pipeline_segments=4)
+    plain = overlap_add_demix(_model, mix, chunk, step, shared,
+                              num_stems=2, batch_size=2)
+    np.testing.assert_allclose(no_div, plain[..., :30000], atol=1e-5)
