@@ -282,3 +282,57 @@ def test_freqs_per_bands_encodings(freqs, encoding):
     }[encoding]
     out = normalize_roformer_params({"freqs_per_bands": value})
     assert out["freqs_per_bands"] == tuple(freqs), (encoding, out)
+
+
+# ---------------------------------------------------------------------------
+# Pipelined device drain: for any shift-style layout (dense rows, explicit
+# divider, a post fn that slices/averages disjoint regions), the drained
+# pipelined path must equal the whole-buffer scan.
+
+
+@settings(deadline=None, max_examples=12)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    span_windows=st.sampled_from([6, 9]),
+    n_regions=st.sampled_from([2, 3]),
+    pipeline=st.sampled_from([2, 4]),
+)
+def test_pipelined_post_drain_matches_whole_scan(seed, span_windows,
+                                                 n_regions, pipeline):
+    import jax
+
+    rng = np.random.default_rng(seed)
+    chunk, step = 1024, 700
+    span = step * span_windows + chunk  # region span, windows fully inside
+    length = step * (span_windows - 2)  # post-slice length, < span
+    lead = int(rng.integers(0, chunk // 2))
+    offsets = [int(rng.integers(0, 64)) for _ in range(n_regions)]
+
+    mix = np.zeros((2, span * n_regions), np.float32)
+    track = rng.standard_normal((2, length + 64)).astype(np.float32)
+    for s, off in enumerate(offsets):
+        lo = s * span + lead
+        mix[:, lo: lo + length + 64] = track
+    pos_one = window_positions(span - chunk, chunk, step)
+    positions = np.concatenate(
+        [pos_one + s * span for s in range(n_regions)]).astype(np.int32)
+    windows = np.tile(np.asarray(hamming_window(chunk))[None],
+                      (len(positions), 1))
+    divider = np.ones(span * n_regions, np.float32)
+    for r, p in enumerate(positions):
+        divider[p: p + chunk] += windows[r]
+
+    def post(acc):
+        parts = [jax.lax.dynamic_slice_in_dim(
+            acc, s * span + lead + (63 - off), length, axis=-1)
+            for s, off in enumerate(offsets)]
+        return sum(parts) / n_regions
+
+    common = dict(num_stems=1, batch_size=2, positions=positions,
+                  divider=divider, post_device_fn=post)
+    base = overlap_add_demix(_identity, mix, chunk, step, windows,
+                             pipeline_segments=1, **common)
+    piped = overlap_add_demix(_identity, mix, chunk, step, windows,
+                              pipeline_segments=pipeline, **common)
+    assert piped.shape == base.shape == (1, 2, length)
+    np.testing.assert_allclose(piped, base, atol=1e-5)
