@@ -182,12 +182,13 @@ class SeparatorService:
         return task_id
 
     def _coalesce_cap(self) -> int:
-        """Cross-job batching group cap. The measured sweep (SERVING.json,
-        workers {1..4} x coalesce {1,4}) shows coalescing only wins once
-        worker concurrency saturates the host/link phases (>=3 workers:
-        1726 vs 1653 jobs/h at 3, 2011 vs 1358 at 4); at 1-2 workers the
-        solo pipeline is faster (1827 vs 1311 at 1). Default follows the
-        data; AUDSEP_SERVER_COALESCE overrides unconditionally."""
+        """Cross-job batching group cap. The measured sweeps (SERVING.json)
+        show coalescing wins once worker concurrency saturates the host/link
+        phases — flagship at 4 workers: 3505 vs 3020 jobs/h (r5 engine;
+        r4 saw 2011 vs 1358) — while at 1-2 workers the per-arch picture is
+        mixed (mdx 2w: 1862 coalesced vs 1456; vr 2w: 1943 coalesced vs
+        2371 solo). Default follows the flagship crossover;
+        AUDSEP_SERVER_COALESCE overrides unconditionally."""
         default = 4 if self.workers >= 3 else 1
         try:
             return max(1, int(os.environ.get("AUDSEP_SERVER_COALESCE",
