@@ -397,12 +397,12 @@ def bench_mel_kim(tmp, mix, passes):
     from audio_separator_tpu.ops.stft import link_quant_mode
 
     return {"rtf": round(track_s / best, 2),
+            "rtf_link_mode": link_quant_mode() or "off",
             "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
             "geometry": {"dim": 384, "depth": 6, "num_bands": 60,
                          "n_fft": 2048, "hop": 441,
                          "params_m": round(n_params / 1e6, 1)},
-            "note": "full e2e demix (upload + scan + fetch), link_quant="
-                    + (link_quant_mode() or "off")}
+            "note": "full e2e demix (upload + scan + fetch)"}
 
 
 def bench_ensemble_batch(tmp, mix, passes):
