@@ -262,10 +262,10 @@ class DemucsSeparator(BaseSeparator):
         # forward ~197x realtime vs ~7.5x e2e before this), so the fetch IS
         # the pass. With the explicit divider the engine runs this through
         # the pipelined DEVICE drain (segment uploads overlap compute; the
-        # r5 probe measured the post fn's old unpipelined scan costing 1.36x
-        # at 240 s — SHIFT_PROBE.json). Offsets come from a per-call seeded
-        # rng, so they are stable across calls — the memo key (and the one
-        # compile) holds.
+        # r5 probe trail at 240 s: 22.6 s through the old unpipelined scan
+        # vs 16.6 s drained — SHIFT_PROBE.json len240s_b4_predrain /
+        # _postdrain). Offsets come from a per-call seeded rng, so they are
+        # stable across calls — the memo key (and the one compile) holds.
         # The key is per-track (exact lengths), so it lives in the dedicated
         # post-fn LRU: in the shared model_fn registry a varied-length batch
         # folder would evict hot model identities and force scan recompiles.

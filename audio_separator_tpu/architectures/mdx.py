@@ -281,6 +281,10 @@ class MDXSeparator(BaseSeparator):
         fall back on. Returns one output-file list per input, each byte-
         identical to a solo :meth:`separate` of the same file."""
         names = custom_output_names_list or [None] * len(audio_file_paths)
+        if len(names) != len(audio_file_paths):
+            raise ValueError(
+                f"custom_output_names_list has {len(names)} entries for "
+                f"{len(audio_file_paths)} files")
         if len(audio_file_paths) <= 1:
             return [self.separate(p, n)
                     for p, n in zip(audio_file_paths, names)]

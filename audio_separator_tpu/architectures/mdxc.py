@@ -142,6 +142,10 @@ class MDXCSeparator(BaseSeparator):
         the engine output feeds per-job host math there).
         """
         names = custom_output_names_list or [None] * len(audio_file_paths)
+        if len(names) != len(audio_file_paths):
+            raise ValueError(
+                f"custom_output_names_list has {len(names)} entries for "
+                f"{len(audio_file_paths)} files")
         batchable = (self.is_roformer and self.pitch_shift == 0
                      and len(audio_file_paths) > 1)
         prepared = []

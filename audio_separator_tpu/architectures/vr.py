@@ -54,6 +54,12 @@ def load_vr_model_params(name: str) -> Dict:
 
 
 class VRSeparator(BaseSeparator):
+    # separate_batch sub-group size: bounds simultaneous HBM (each pending
+    # job keeps its (2, 2, T) stems + chain intermediates on device until
+    # its fetch — ~170 MB+ for a 4-min track) while keeping the dispatch
+    # overlap win; matches the serving coalesce scale.
+    _BATCH_GROUP = 4
+
     def __init__(self, common_config: Dict, arch_config: Dict):
         super().__init__(config=common_config)
 
@@ -207,11 +213,27 @@ class VRSeparator(BaseSeparator):
         stem fetches all land at the end — the VR analogue of the engine's
         cross-job batching (the chain's bucketed shapes mean same-bucket
         jobs share every compiled program). Outputs match per-file
-        separate() exactly (same programs, same order of math)."""
+        separate() exactly (same programs, same order of math).
+
+        Groups are processed in sub-batches of ``_BATCH_GROUP``: each
+        pending job holds its full stems array (+ chain intermediates) in
+        HBM until its fetch, so an uncapped folder-sized group would OOM
+        where per-file separate() ran fine."""
         names = custom_output_names_list or [None] * len(audio_file_paths)
+        if len(names) != len(audio_file_paths):
+            raise ValueError(
+                f"custom_output_names_list has {len(names)} entries for "
+                f"{len(audio_file_paths)} files")
         if len(audio_file_paths) <= 1 or not self._use_device_chain():
             return [self.separate(p, n)
                     for p, n in zip(audio_file_paths, names)]
+        if len(audio_file_paths) > self._BATCH_GROUP:
+            outputs = []
+            for i in range(0, len(audio_file_paths), self._BATCH_GROUP):
+                outputs.extend(self.separate_batch(
+                    audio_file_paths[i: i + self._BATCH_GROUP],
+                    names[i: i + self._BATCH_GROUP]))
+            return outputs
         self._load_network()
 
         from ..ops.stft import fetch_real

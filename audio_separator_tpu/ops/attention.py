@@ -74,8 +74,8 @@ _VMEM_LIMIT = 48 * 1024 * 1024
 
 def _whole_seq_fits(n: int, d: int) -> bool:
     """Can the whole-sequence kernel hold one sequence's working set in VMEM
-    (raised 40 MB scoped limit)? Three (n_pad, n_pad) temporaries dominate:
-    two fp32 score tensors plus the int32 key-column mask iota."""
+    (``_VMEM_LIMIT``, 48 MB scoped)? Three (n_pad, n_pad) temporaries
+    dominate: two fp32 score tensors plus the int32 key-column mask iota."""
     n_pad = n + (-n) % 128
     per_seq = 4 * 2 * n_pad * d * 2  # q/k/v/o, double-buffered, bf16
     return 3 * 4 * n_pad * n_pad + per_seq <= int(_VMEM_LIMIT * 0.85)

@@ -870,7 +870,9 @@ _dev_geom_cache: dict = {}
 
 def _dev_geom_memo(key, builder):
     with _cache_lock:
-        hit = _dev_geom_cache.get(key)
+        hit = _dev_geom_cache.pop(key, None)
+        if hit is not None:
+            _dev_geom_cache[key] = hit  # true LRU: refresh recency on hit
     if hit is not None:
         return hit
     built = builder()  # upload outside the lock (seconds on slow links)
@@ -983,9 +985,12 @@ def _pipelined_demix(
     cross the link — they combine into one HBM buffer, and a final program
     divider-normalises, applies the post fn, and quantises for a single
     fetch of the post fn's (usually much smaller) output. Uploads still
-    pipeline exactly as in the host drain; measured on the htdemucs
-    shift-trick layout the post fn previously forced the unpipelined
-    whole-buffer scan, which cost 1.56x at 240 s (SHIFT_PROBE.json).
+    pipeline exactly as in the host drain. Measured on the htdemucs
+    shift-trick layout at 240 s (SHIFT_PROBE.json ``len240s_b4_predrain``):
+    the post fn previously forced the unpipelined whole-buffer scan at
+    22.6 s while the same layout pipelined (host align, double the fetch
+    bytes) took 14.5 s; with this drain the shipped path runs 16.6 s with
+    half the fetch (``len240s_b4_postdrain``).
 
     Pipeline-end engineering (the measured gap between the ~71x model-only
     RTF and the e2e number is almost entirely the non-overlapped ends):

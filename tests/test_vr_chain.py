@@ -379,3 +379,70 @@ def test_separator_device_vs_host_end_to_end(fixtures_dir, tmp_path, monkeypatch
         assert abs(a.shape[-1] - b.shape[-1]) <= 1024
         snr = _snr_db(a[..., :n], b[..., :n])
         assert snr > 45, f"{name}: device chain SNR {snr:.1f} dB vs host"
+
+
+def test_vr_separate_batch_groups_and_validates(fixtures_dir, tmp_path,
+                                                monkeypatch):
+    """Oversized groups process in _BATCH_GROUP sub-batches (bounding HBM
+    held by pending jobs) with identical outputs, and a mismatched
+    custom_output_names_list is rejected instead of silently dropping
+    trailing jobs."""
+    import logging
+
+    import jax
+    import pytest
+
+    from audio_separator_tpu.architectures.vr import VRSeparator
+    from audio_separator_tpu.io import audio as audio_io
+    from audio_separator_tpu.models.vr_nets import state_dict_to_tree
+    from torch_oracles.vr_oracle import CascadedASPPNetOracle
+
+    from test_vr import SP_CAPS, _randomize
+
+    monkeypatch.setenv("AUDSEP_VR_CHAIN", "device")
+    oracle = _randomize(CascadedASPPNetOracle(2048, SP_CAPS, 31191),
+                        seed=23).eval()
+    params = jax.device_put(state_dict_to_tree(
+        {k: v.numpy() for k, v in oracle.state_dict().items()}))
+
+    rng = np.random.default_rng(11)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"in{i}.wav")
+        audio_io.save_audio(p, (rng.standard_normal(
+            (2, int(44100 * 1.1))) * 0.2).astype(np.float32), 44100)
+        paths.append(p)
+
+    def make_sep(out_name):
+        common = {
+            "logger": logging.getLogger("test"),
+            "model_name": "grp-test", "model_path": str(tmp_path / "m.pth"),
+            "model_data": {"vr_model_param": "1band_sr44100_hl512",
+                           "primary_stem": "Instrumental"},
+            "output_dir": str(tmp_path / out_name), "output_format": "WAV",
+            "normalization_threshold": 0.9, "amplification_threshold": 0.0,
+            "sample_rate": 44100,
+        }
+        arch = {"batch_size": 2, "window_size": 512, "aggression": 5,
+                "enable_tta": False, "enable_post_process": False,
+                "post_process_threshold": 0.2, "high_end_process": False}
+        sep = VRSeparator(common_config=common, arch_config=arch)
+        sep._params = params
+        sep._arch_size = 31191
+        sep._offset = 128
+        return sep
+
+    with pytest.raises(ValueError, match="2 entries for 3 files"):
+        make_sep("x").separate_batch(paths, [None, None])
+
+    sep = make_sep("grouped")
+    monkeypatch.setattr(VRSeparator, "_BATCH_GROUP", 2)
+    grouped = sep.separate_batch(paths)
+    solo = [make_sep("solo").separate(p) for p in paths]
+    assert len(grouped) == 3
+    for s_files, g_files in zip(solo, grouped):
+        for s, g in zip(sorted(s_files), sorted(g_files)):
+            a, _ = audio_io.load_audio(os.path.join(str(tmp_path / "solo"), s))
+            c, _ = audio_io.load_audio(
+                os.path.join(str(tmp_path / "grouped"), g))
+            np.testing.assert_allclose(a, c, atol=1e-6, rtol=0)

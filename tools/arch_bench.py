@@ -174,9 +174,15 @@ def bench_vr(tmp, mix, passes):
         outputs = sep.separate(wav_path)
         assert len(outputs) == 2
 
+    from audio_separator_tpu.ops.stft import link_quant_mode
+
     best, warm = _measure(run, True, passes)
+    ambient = link_quant_mode() or "off"
     rec = {"rtf": round(mix.shape[-1] / SR / best, 2),
-           "rtf_link_mode": "shipped default (int16 on TPU)",
+           "rtf_link_mode": (
+               "shipped default (int16 on TPU)"
+               if (ambient == "int16"
+                   and "AUDSEP_LINK_QUANT" not in os.environ) else ambient),
            "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
            "geometry": {"param": "4band_v2", "bins": n_bins,
                         "arch_size": arch_size, "window": 512},
@@ -296,9 +302,8 @@ def bench_htdemucs(tmp, mix, passes):
     seq_best, seq_warm = _measure(run_sequential, True, max(1, passes - 1))
 
     track_s = mix.shape[-1] / SR
-    rec = {"rtf": round(track_s / best, 2),
-           "rtf_link_mode": "shipped default (int16 on TPU)",
-           "best_pass_s": round(best, 2), "warm_s": round(warm, 1),
+    rec = {"rtf": round(track_s / best, 2),  # rtf/rtf_link_mode finalised
+           "best_pass_s": round(best, 2), "warm_s": round(warm, 1),  # below
            "rtf_sequential_shifts": round(track_s / seq_best, 2),
            "shift_batch_speedup": round(seq_best / best, 3),
            "geometry": {**geometry, "params_m": round(n_params / 1e6, 1),
@@ -351,11 +356,19 @@ def bench_htdemucs(tmp, mix, passes):
                **({"stem_snr_vs_off_db": round(snr[mode], 1)}
                   if mode in snr else {})}
         for mode, b in lq_best.items()}
-    # Headline rtf = the SHIPPED default (int16 on TPU): best of the main
-    # measured passes and the explicit-int16 rows (same mode, different
-    # moments of the link regime). The pinned-off number lives in
-    # link_quant["off"].
-    b_def = min(best, lq_best["int16"])
+    # Headline rtf = the AMBIENT mode the main passes ran under (the shipped
+    # default unless AUDSEP_LINK_QUANT was set for the whole run). When that
+    # mode has a pinned A/B row, fold it in — same mode, different moments
+    # of the link regime. The pinned-off number lives in link_quant["off"].
+    from audio_separator_tpu.ops.stft import link_quant_mode
+
+    ambient = link_quant_mode() or "off"
+    rec["rtf_link_mode"] = (
+        "shipped default (int16 on TPU)" if (ambient == "int16"
+                                             and "AUDSEP_LINK_QUANT"
+                                             not in os.environ)
+        else ambient)
+    b_def = min(best, lq_best.get(ambient, float("inf")))
     rec["rtf"] = round(track_s / b_def, 2)
     rec["best_pass_s"] = round(b_def, 2)
     return rec
@@ -474,12 +487,11 @@ def _timed_audio_io():
 
     from audio_separator_tpu.io import audio as audio_io
 
-    # write_s is the WALL-CLOCK UNION of all stem writes (they overlap on
-    # the shared write pool since r5 — summing per-call durations would
-    # double-count and push demix_and_glue negative); write_cpu_s keeps the
-    # summed per-call time for contention diagnostics.
-    times = {"decode_s": 0.0, "write_s": 0.0, "write_cpu_s": 0.0,
-             "_w_start": None, "_w_end": 0.0}
+    # Stem writes run sequentially (a threaded write pool was A/B'd and
+    # reverted — PERF_PLAYBOOK "Negative result"), so summing per-call
+    # durations is the correct phase time. If writes ever overlap again,
+    # switch this to a wall-clock union or demix_and_glue goes negative.
+    times = {"decode_s": 0.0, "write_s": 0.0}
 
     @contextlib.contextmanager
     def ctx():
@@ -494,15 +506,10 @@ def _timed_audio_io():
 
         def timed_save(*a, **k):
             t0 = time.time()
-            if times["_w_start"] is None or t0 < times["_w_start"]:
-                times["_w_start"] = t0
             try:
                 return orig_save(*a, **k)
             finally:
-                t1 = time.time()
-                times["write_cpu_s"] += t1 - t0
-                times["_w_end"] = max(times["_w_end"], t1)
-                times["write_s"] = times["_w_end"] - times["_w_start"]
+                times["write_s"] += time.time() - t0
 
         audio_io.load_audio, audio_io.save_audio = timed_load, timed_save
         try:

@@ -159,10 +159,14 @@ def main():
         results["configs"] = merged
     speedups = [c["speedup"] for c in results["configs"].values()
                 if "speedup" in c]
-    results["min_speedup"] = round(min(speedups), 3)
-    results["max_speedup"] = round(max(speedups), 3)
-    results["verdict"] = ("keep batched path"
-                          if max(speedups) > 1.1 else "delete batched path")
+    if speedups:
+        results["min_speedup"] = round(min(speedups), 3)
+        results["max_speedup"] = round(max(speedups), 3)
+        results["verdict"] = ("keep batched path"
+                              if max(speedups) > 1.1
+                              else "delete batched path")
+    else:  # every config errored: still write the error rows
+        results["verdict"] = "no successful configs (see per-row errors)"
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -175,8 +179,8 @@ def main():
         ba.setdefault("configs", {}).setdefault("htdemucs", {})["shift_ab"] = {
             "sweep": {k: v.get("speedup", v.get("error", "?")[:80])
                       for k, v in results["configs"].items()},
-            "min_speedup": results["min_speedup"],
-            "max_speedup": results["max_speedup"],
+            "min_speedup": results.get("min_speedup"),
+            "max_speedup": results.get("max_speedup"),
             "verdict": results["verdict"],
             "detail": "SHIFT_AB.json",
         }

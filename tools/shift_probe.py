@@ -10,7 +10,8 @@ the real chip:
 
   * h2d of the dense window rows / mix buffer / divider, alone;
   * d2h of a (4, 2, track) int16 result, alone;
-  * the shipped batched call (post fn on, unpipelined);
+  * the shipped batched call (post fn on — unpipelined before the r5
+    device drain, pipelined after it; the key is ``shipped_post_s``);
   * the same layout WITHOUT the post fn (pipelined, full-span fetch).
 
 Usage: python tools/shift_probe.py [--secs 240] [--batch 4] [--passes 2]
@@ -169,11 +170,15 @@ def main():
     _mark("warmups (compile-cached shapes)")
     run_shipped()
     run_nopost()
-    best2 = {"shipped_post_unpipelined_s": np.inf, "nopost_pipelined_s": np.inf}
+    # NOTE key name: the "shipped" arm measures whatever the CURRENT
+    # engine does for post_device_fn — before the r5 device drain that was
+    # the unpipelined whole-buffer scan (SHIFT_PROBE len240s_b4_predrain),
+    # after it the pipelined drain (…_postdrain).
+    best2 = {"shipped_post_s": np.inf, "nopost_pipelined_s": np.inf}
     for _ in range(args.passes):
         t = time.time(); run_shipped(); best2[
-            "shipped_post_unpipelined_s"] = min(
-            best2["shipped_post_unpipelined_s"], time.time() - t)
+            "shipped_post_s"] = min(
+            best2["shipped_post_s"], time.time() - t)
         t = time.time(); run_nopost(); best2["nopost_pipelined_s"] = min(
             best2["nopost_pipelined_s"], time.time() - t)
     out.update({k: round(v, 2) for k, v in best2.items()})
@@ -184,7 +189,8 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
-    prior[f"len{int(args.secs)}s_b{args.batch}"] = out
+    prior[f"len{int(args.secs)}s_b{args.batch}"] = out  # overwrites the
+    # same-geometry key; rename historical entries (…_predrain) to keep them
     with open(path, "w") as f:
         json.dump(prior, f, indent=1, sort_keys=True)
         f.write("\n")
