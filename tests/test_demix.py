@@ -681,3 +681,50 @@ def test_demix_post_fn_mesh_and_no_divider_fall_back():
     plain = overlap_add_demix(_model, mix, chunk, step, shared,
                               num_stems=2, batch_size=2)
     np.testing.assert_allclose(no_div, plain[..., :30000], atol=1e-5)
+
+
+def test_drain_concurrent_callers_share_device_cache_safely():
+    """Serving workers run the engine concurrently: two threads driving the
+    SAME drained geometry must share the device geometry cache (non-donated
+    inputs) without corrupting each other's donated accumulators."""
+    import threading
+
+    rng = np.random.default_rng(41)
+    chunk, step = 2048, 1500
+    total = 30000
+    positions = window_positions(total, chunk, step)
+    n = len(positions)
+    windows = np.tile(np.asarray(hamming_window(chunk))[None], (n, 1))
+    divider = np.ones(total + chunk, np.float32)
+    for r, p in enumerate(positions):
+        divider[p:p + chunk] += windows[r]
+
+    def post(acc):
+        return acc[..., :total]
+
+    mixes = [rng.standard_normal((2, total)).astype(np.float32)
+             for _ in range(4)]
+    kw = dict(num_stems=2, batch_size=2, positions=positions,
+              divider=divider, post_device_fn=post, pipeline_segments=3)
+    expected = [overlap_add_demix(_model, m, chunk, step, windows, **kw)
+                for m in mixes]
+
+    results = [None] * len(mixes)
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = overlap_add_demix(_model, mixes[i], chunk, step,
+                                           windows, **kw)
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(mixes))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for got, want in zip(results, expected):
+        np.testing.assert_allclose(got, want, atol=1e-5)
