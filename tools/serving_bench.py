@@ -137,6 +137,43 @@ def _make_model_vr(dirpath: str) -> str:
     return name
 
 
+def _make_model_demucs(dirpath: str) -> str:
+    """Synthetic HTDemucs yaml bag at real geometry (same builder shape as
+    arch_bench's separate_e2e htdemucs row). Exercises the r5 pipelined
+    device drain (shift-trick post fn) through the REAL serving path."""
+    import hashlib
+
+    import torch
+    import yaml
+
+    from ref_shims import load_ref_module
+
+    mod = load_ref_module("demucs.htdemucs")
+    sources = ["drums", "bass", "other", "vocals"]
+    geom = dict(channels=48, nfft=4096, depth=4, t_layers=5, t_heads=8,
+                segment=7.8)
+    torch.manual_seed(2)
+    ht = mod.HTDemucs(sources, **{**geom, "t_dropout": 0.0})
+    with torch.no_grad():
+        for p in ht.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    package = {"klass": mod.HTDemucs, "args": (),
+               "kwargs": {"sources": sources, "audio_channels": 2, **geom},
+               "state": ht.state_dict()}
+    del ht
+    tmp_th = os.path.join(dirpath, "serving.tmp")
+    torch.save(package, tmp_th)
+    with open(tmp_th, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:8]
+    os.rename(tmp_th, os.path.join(dirpath, f"beefbeef-{digest}.th"))
+    name = "serving_bench_htdemucs.yaml"
+    with open(os.path.join(dirpath, name), "w") as f:
+        yaml.safe_dump({"models": ["beefbeef"],
+                        "weights": [[1.0, 1.0, 1.0, 1.0]],
+                        "segment": 7.8}, f)
+    return name
+
+
 def _drain(service, task_ids, poll=0.5):
     done = {}
     while len(done) < len(task_ids):
@@ -203,7 +240,7 @@ def main():
                              "worker count (1 = off; >1 = cross-job window "
                              "batching via ops/demix.demix_jobs)")
     parser.add_argument("--arch", type=str, default="mel_roformer",
-                        choices=("mel_roformer", "mdx", "vr"),
+                        choices=("mel_roformer", "mdx", "vr", "htdemucs"),
                         help="model family for the sweep (mdx exercises the "
                              "non-flagship coalescing path, VERDICT r4 item "
                              "4; vr exercises VRSeparator.separate_batch "
@@ -220,6 +257,7 @@ def main():
 
     model_dir = tempfile.mkdtemp(prefix="serving-bench-models-")
     model_name = {"mdx": _make_model_mdx, "vr": _make_model_vr,
+                  "htdemucs": _make_model_demucs,
                   "mel_roformer": _make_model}[args.arch](model_dir)
     print(f"[serving] model built ({time.time() - t_start:.0f}s)", flush=True)
 
@@ -260,6 +298,7 @@ def main():
     rec = {
         "model": {"mdx": "mdx conv-tdf dim_f2048 nfft4096",
                   "vr": "vr cascaded-aspp sp-caps arch31191 1band_sr44100",
+                  "htdemucs": "htdemucs 48ch nfft4096 depth4 shifts2 bag1",
                   "mel_roformer":
                       f"mel_roformer dim{DIM} depth{DEPTH} bands{NUM_BANDS}",
                   }[args.arch],
