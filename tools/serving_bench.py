@@ -295,6 +295,18 @@ def main():
             print(f"[serving] workers={w} coalesce={c}: {wall:.1f}s "
                   f"({results[key]['jobs_per_hour']} jobs/h)", flush=True)
 
+    # One file, one row per arch: the default (mel_roformer) keeps the
+    # legacy top-level shape; other arches land under their own key.
+    # Results MERGE over a prior sweep's configs (sweeps are extended across
+    # runs — a workers=3,4 run must not clobber the 1,2 rows), and best/
+    # speedup are recomputed over the union.
+    out = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            out = json.load(f)
+    prior = out if args.arch == "mel_roformer" else out.get(args.arch, {})
+    merged = dict(prior.get("results", {}))
+    merged.update(results)
     rec = {
         "model": {"mdx": "mdx conv-tdf dim_f2048 nfft4096",
                   "vr": "vr cascaded-aspp sp-caps arch31191 1band_sr44100",
@@ -302,20 +314,14 @@ def main():
                   "mel_roformer":
                       f"mel_roformer dim{DIM} depth{DEPTH} bands{NUM_BANDS}",
                   }[args.arch],
-        "results": results,
+        "results": merged,
     }
-    best_key = min(results, key=lambda k: results[k]["wall_s"])
-    rec["best"] = {"config": best_key, **results[best_key]}
-    if "1" in results:
+    best_key = min(merged, key=lambda k: merged[k]["wall_s"])
+    rec["best"] = {"config": best_key, **merged[best_key]}
+    if "1" in merged:
         rec["best"]["speedup_vs_1worker"] = round(
-            results["1"]["wall_s"] / results[best_key]["wall_s"], 3)
+            merged["1"]["wall_s"] / merged[best_key]["wall_s"], 3)
 
-    # One file, one row per arch: the default (mel_roformer) keeps the
-    # legacy top-level shape; other arches land under their own key.
-    out = {}
-    if os.path.exists(OUT_PATH):
-        with open(OUT_PATH) as f:
-            out = json.load(f)
     if args.arch == "mel_roformer":
         out.update(rec)
     else:
