@@ -279,6 +279,8 @@ def main():
     for w in worker_counts:
         for c in coalesce_counts:
             key = str(w) if c == 1 else f"{w}w_coalesce{c}"
+            if args.jobs != 6:  # default job count owns the bare keys;
+                key += f"_j{args.jobs}"  # other queue depths get their own
             os.environ["AUDSEP_SERVER_COALESCE"] = str(c)
             print(f"[serving] workers={w} coalesce={c}: "
                   f"{args.jobs} x {args.seconds:.0f}s jobs", flush=True)
@@ -316,11 +318,13 @@ def main():
                   }[args.arch],
         "results": merged,
     }
-    best_key = min(merged, key=lambda k: merged[k]["wall_s"])
+    # best by jobs/hour — wall_s is not comparable across queue depths
+    best_key = max(merged, key=lambda k: merged[k]["jobs_per_hour"])
     rec["best"] = {"config": best_key, **merged[best_key]}
     if "1" in merged:
         rec["best"]["speedup_vs_1worker"] = round(
-            merged["1"]["wall_s"] / merged[best_key]["wall_s"], 3)
+            merged[best_key]["jobs_per_hour"]
+            / merged["1"]["jobs_per_hour"], 3)
 
     if args.arch == "mel_roformer":
         out.update(rec)
